@@ -1,0 +1,63 @@
+"""TPU-native sparse linear assignment (auction algorithms) in JAX/Pallas.
+
+Brand-new framework with the capabilities of the Rust crate
+``DXist/sparse_linear_assignment`` (reference mounted at
+``/root/reference``; API façade mirrored from ``src/lib.rs:7-19``):
+
+- :class:`KhoslaSolver` — auction for asymmetric k-regular sparse graphs
+  (arXiv:2101.07155), finite termination on infeasible instances.
+- :class:`ForwardAuctionSolver` — ε-scaling forward auction (à la sslap)
+  with ``max_iterations`` cutoff.
+- :class:`AuctionSolver` — shared base: CSR construction, lifecycle,
+  objective and ε-CS evaluators.
+- :class:`AuctionSolution` — matching result (both directions,
+  ``num_unassigned``, achieved ``eps``).
+
+TPU-native extensions beyond the reference:
+
+- :func:`solve_batch` — vmapped batched mode solving thousands of
+  independent fixed-shape LAPs per TPU core.
+- ``parallel.sharded`` — shard_map multi-device solve over a
+  ``jax.sharding.Mesh`` for single huge instances.
+- ``cpu_reference`` — native C++ sequential engine replicating the
+  reference's exact sequential semantics (CPU baseline / oracle).
+
+float64 note: objective parity with the Rust solvers to 1e-9 requires
+f64 price arithmetic, so importing this package enables
+``jax_enable_x64`` (set ``SLAP_TPU_NO_X64=1`` to opt out and use the
+float32 fast path only).
+"""
+
+import os
+
+import jax
+
+if not os.environ.get("SLAP_TPU_NO_X64"):
+    jax.config.update("jax_enable_x64", True)
+
+from .solution import INDEX_DTYPE, UNASSIGNED, AuctionSolution  # noqa: E402
+from .solver import AuctionSolver  # noqa: E402
+from .ksparse import KhoslaSolver  # noqa: E402
+from .symmetric import ForwardAuctionSolver  # noqa: E402
+
+__all__ = [
+    "AuctionSolution",
+    "AuctionSolver",
+    "KhoslaSolver",
+    "ForwardAuctionSolver",
+    "UNASSIGNED",
+    "INDEX_DTYPE",
+    "solve_batch",
+    "BatchedLAP",
+]
+
+__version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy import to keep base import light
+    if name in ("solve_batch", "BatchedLAP"):
+        from . import batch
+
+        return getattr(batch, name)
+    raise AttributeError(name)

@@ -1,0 +1,97 @@
+"""Seeded random problem generators.
+
+Same *semantics* as the reference's bench generators
+(`/root/reference/benches/benchmark.rs:16-79`) — NumPy RNG streams instead
+of Rust's ChaCha8, so instances are reproducible here but not bit-identical
+to the Rust crate's (objectives are therefore checked against an
+independent optimal oracle, not against the Rust RNG-dependent constants).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def gen_symmetric_input(
+    solver,
+    seed: int,
+    size: int,
+    density: float,
+    min_value: float,
+    max_value: float,
+) -> None:
+    """Bernoulli(density) square instance with a shuffled *ensured* perfect
+    matching (`benchmark.rs:16-47`), values U[min_value, max_value)."""
+    val_rng = np.random.default_rng(seed)
+    filter_rng = np.random.default_rng(seed + 1)
+
+    ensured = filter_rng.permutation(size)
+    keep = filter_rng.random((size, size)) < density
+    keep[np.arange(size), ensured] = True
+
+    solver.init(size, size)
+    for i in range(size):
+        cols = np.nonzero(keep[i])[0]
+        vals = val_rng.uniform(min_value, max_value, size=cols.shape[0])
+        solver.extend_from_values(i, cols, vals)
+
+
+def gen_asymmetric_input(
+    solver,
+    seed: int,
+    num_of_people: int,
+    num_of_objects: int,
+    arcs_per_person: int,
+    min_value: float,
+    range_width: float,
+) -> None:
+    """k-regular sparse instance: ``arcs_per_person`` distinct objects per
+    person, Beta(3,3)-distributed integer-floored values scaled to
+    [min_value, min_value + range_width) (`benchmark.rs:49-79`)."""
+    val_rng = np.random.default_rng(seed)
+    filter_rng = np.random.default_rng(seed + 1)
+
+    solver.init(num_of_people, num_of_objects)
+    for i in range(num_of_people):
+        cols = np.sort(
+            filter_rng.choice(num_of_objects, size=arcs_per_person, replace=False)
+        )
+        vals = np.floor(
+            range_width * val_rng.beta(3.0, 3.0, size=arcs_per_person)
+            + min_value
+        )
+        solver.extend_from_values(i, cols, vals)
+
+
+def gen_ksparse_uniform(
+    solver,
+    seed: int,
+    num_rows: int,
+    num_cols: int,
+    arcs_per_person: int,
+    max_value: float,
+) -> None:
+    """Uniform-value k-sparse instance (the generic test fixture,
+    `solver.rs:261-292`)."""
+    val_rng = np.random.default_rng(seed)
+    filter_rng = np.random.default_rng(seed + 1)
+
+    solver.init(num_rows, num_cols)
+    for i in range(num_rows):
+        cols = np.sort(
+            filter_rng.choice(num_cols, size=arcs_per_person, replace=False)
+        )
+        vals = val_rng.uniform(0.0, max_value, size=arcs_per_person)
+        solver.extend_from_values(i, cols, vals)
+
+
+def dense_cost_matrix(solver, big: float = 1e9) -> np.ndarray:
+    """Densify the solver's CSR into a full matrix with ``big`` for missing
+    arcs — for oracle (scipy) cross-checks."""
+    mat = np.full((solver.num_rows, solver.num_cols), big, dtype=np.float64)
+    counts = solver.j_counts.astype(np.int64)
+    cols = solver.column_indices.astype(np.int64)
+    vals = solver.values
+    rows = np.repeat(np.arange(solver.num_rows, dtype=np.int64), counts)
+    mat[rows, cols] = vals
+    return mat

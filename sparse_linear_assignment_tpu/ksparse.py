@@ -1,0 +1,93 @@
+"""KhoslaSolver — auction for asymmetric k-regular sparse LAP, TPU-native.
+
+Re-derivation of the reference `KhoslaSolver`
+(`/root/reference/src/ksparse.rs:73-260`, algorithm of arXiv:2101.07155).
+The reference runs a strictly sequential LIFO stack of bidders; here every
+unassigned person bids each round inside one jitted `lax.while_loop`
+(see `ops/auction.py`).  The auction algorithm is order-insensitive up to
+tie-breaking, so the ε-optimality and finite-termination guarantees carry
+over; the specific matching found on instances with non-unique optima may
+legitimately differ from the Rust solver's (as the two reference solvers
+already differ from each other, `solver.rs:317-337`).
+
+Example
+-------
+>>> from sparse_linear_assignment_tpu import KhoslaSolver
+>>> solver, solution = KhoslaSolver.new(10, 10, 100)
+>>> weights = [[10, 6, 14, 1], [17, 18, 16]]
+>>> solver.init(2, 4)
+>>> for i, row in enumerate(weights):
+...     solver.extend_from_values(i, range(len(row)), row)
+>>> solver.solve(solution, maximize=False)
+>>> assert solution.num_unassigned == 0
+>>> assert solver.get_objective(solution) == 1.0 + 16.0
+>>> assert list(solution.person_to_object) == [3, 2]
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .ops.auction import khosla_solve
+from .ops.padded import build_padded_problem
+from .solution import AuctionSolution
+from .solver import AuctionSolver
+
+
+class KhoslaSolver(AuctionSolver):
+    """Auction solver with the price-threshold drop rule guaranteeing
+    finite termination even without a perfect matching
+    (`ksparse.rs:9-19`, `ksparse.rs:181,218-220`)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        #: number of Jacobi rounds of the last solve.  The reference's
+        #: ``nits`` counts sequential stack pops (`ksparse.rs:184-187`);
+        #: in the synchronous formulation one round processes every
+        #: unassigned person at once, so rounds are the natural analogue.
+        self.nits: int = 0
+
+    def solve(
+        self,
+        solution: AuctionSolution,
+        maximize: bool = False,
+        eps: Optional[float] = None,
+        max_rounds: int = 10_000_000,
+    ) -> None:
+        """Solve the current problem instance (`ksparse.rs:153-251`).
+
+        ``eps`` defaults to ``1 / num_cols`` (`ksparse.rs:164-168`).
+        ``max_rounds`` is an extension: a safety cutoff for the float32
+        fast path (the float64 path terminates on its own).
+        """
+        self.validate_input()
+        self.init_solve(solution, maximize)
+
+        num_cols_f = float(self.num_cols)
+        eps = float(eps) if eps is not None else 1.0 / num_cols_f
+        solution.eps = eps
+
+        values = self.values  # possibly sign-flipped by init_solve
+        w_min = float(values.min())
+        w_max = float(values.max())
+        # finite-termination threshold (`ksparse.rs:181`)
+        price_threshold = (num_cols_f / 2.0) * (w_max - w_min + eps)
+
+        problem = build_padded_problem(
+            self.num_rows,
+            self.num_cols,
+            self.j_counts,
+            self.column_indices,
+            values,
+            dtype=self.dtype,
+        )
+        prices, p2o, o2p, num_unassigned, nits = khosla_solve(
+            problem, eps, price_threshold, max_rounds=max_rounds
+        )
+        self.prices = np.asarray(prices, dtype=np.float64)
+        solution.person_to_object = np.asarray(p2o)
+        solution.object_to_person = np.asarray(o2p)
+        solution.num_unassigned = int(num_unassigned)
+        self.nits = int(nits)

@@ -1,0 +1,359 @@
+"""Jitted synchronous-Jacobi auction core (the hot path).
+
+The reference solves sequentially — Khosla pops one person at a time off a
+LIFO stack (`/root/reference/src/ksparse.rs:186-245`) and the forward
+solver loops over the unassigned list (`/root/reference/src/symmetric.rs:
+334-468`).  On TPU both become the same *synchronous Jacobi round* in which
+every unassigned person bids simultaneously:
+
+  1. **Bidding** — per-person top-2 profit (value − price) over its padded
+     arc row; vectorized over the person lane axis.  Reference choice rule:
+     `ksparse.rs:199-214` / `symmetric.rs:361-376`.
+  2. **Conflict resolution** — per-object max over incident bids using the
+     transposed padded incidence (gathers only; replaces the reference's
+     scatter-max `symmetric.rs:386-405`).  Ties break deterministically to
+     the smallest person id.
+  3. **Assignment** — prices take the winning bid, displaced owners become
+     unassigned; all computed person-/object-side with `where`, no scatters
+     (replaces `symmetric.rs:409-455` and `ksparse.rs:223-244`).
+
+The auction theory is order-insensitive: any ε-CS-preserving bidding order
+reaches an ε-optimal matching, so the Jacobi schedule keeps the reference's
+optimality guarantees while exposing full vector parallelism.
+
+Everything runs inside a single `lax.while_loop` under `jax.jit` — zero
+host round-trips per solve.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..solution import UNASSIGNED
+from .padded import PaddedProblem
+
+_INT_MAX = jnp.int32(UNASSIGNED)
+
+
+# ----------------------------------------------------------------------
+# Phase 1: bidding (per-person top-2 profit)
+# ----------------------------------------------------------------------
+def top2_profits(problem: PaddedProblem, prices: jnp.ndarray):
+    """Best / second-best profit per person plus the best arc's column and
+    value.  First-occurrence argmax matches the reference's strict `>`
+    update (`ksparse.rs:206-213`) which keeps the earliest maximum.
+
+    Returns (best_profit[N], second_profit[N], best_col[N], best_val[N]).
+    """
+    neg_inf = -jnp.inf
+    profit = jnp.where(
+        problem.row_mask,
+        problem.row_vals - prices[problem.row_cols],
+        neg_inf,
+    )  # [K, N]
+    best_k = jnp.argmax(profit, axis=0)  # [N] first max
+    best = jnp.take_along_axis(profit, best_k[None, :], axis=0)[0]
+    k_iota = lax.broadcasted_iota(jnp.int32, profit.shape, 0)
+    second = jnp.max(
+        jnp.where(k_iota == best_k[None, :].astype(jnp.int32), neg_inf, profit),
+        axis=0,
+    )
+    best_col = jnp.take_along_axis(problem.row_cols, best_k[None, :], axis=0)[0]
+    best_val = jnp.take_along_axis(problem.row_vals, best_k[None, :], axis=0)[0]
+    return best, second, best_col, best_val
+
+
+# ----------------------------------------------------------------------
+# Phase 2+3: conflict resolution and assignment (gather-only)
+# ----------------------------------------------------------------------
+def resolve_and_assign(
+    problem: PaddedProblem,
+    prices: jnp.ndarray,
+    p2o: jnp.ndarray,
+    o2p: jnp.ndarray,
+    bid: jnp.ndarray,
+    bid_col: jnp.ndarray,
+):
+    """One synchronous assignment phase.
+
+    ``bid[u]`` is −inf for non-bidders; ``bid_col[u]`` is the object person
+    ``u`` bids on.  Each object takes the max incident bid (smallest person
+    id on ties); its price becomes the winning bid, the winner is assigned
+    and any displaced previous owner becomes unassigned.
+    """
+    neg_inf = -jnp.inf
+    n = p2o.shape[0]
+
+    inc_bid = bid[problem.col_persons]        # [Kc, M]
+    inc_tgt = bid_col[problem.col_persons]    # [Kc, M]
+    obj_ids = lax.broadcasted_iota(jnp.int32, inc_bid.shape, 1)
+    is_here = problem.col_mask & (inc_tgt == obj_ids) & (inc_bid != neg_inf)
+    eff = jnp.where(is_here, inc_bid, neg_inf)
+    max_bid = jnp.max(eff, axis=0)            # [M]
+    has_winner = max_bid != neg_inf
+    cand = jnp.where(
+        is_here & (eff >= max_bid[None, :]), problem.col_persons, _INT_MAX
+    )
+    winner = jnp.min(cand, axis=0)            # [M]
+
+    prices_new = jnp.where(has_winner, max_bid.astype(prices.dtype), prices)
+    o2p_new = jnp.where(has_winner, winner, o2p)
+
+    person_iota = lax.broadcasted_iota(jnp.int32, (n,), 0)
+    bidding = bid != neg_inf
+    safe_tgt = jnp.where(bidding, bid_col, 0)
+    won = bidding & (winner[safe_tgt] == person_iota)
+    assigned = p2o != UNASSIGNED
+    safe_cur = jnp.where(assigned, p2o, 0)
+    displaced = assigned & has_winner[safe_cur]
+    p2o_new = jnp.where(
+        won, bid_col, jnp.where(displaced, _INT_MAX, p2o)
+    )
+    return prices_new, p2o_new, o2p_new
+
+
+# ----------------------------------------------------------------------
+# Device-side ε-CS certificate (reference: solver.rs:154-189)
+# ----------------------------------------------------------------------
+def ecs_satisfied_device(
+    problem: PaddedProblem,
+    prices: jnp.ndarray,
+    p2o: jnp.ndarray,
+    eps,
+    toleration,
+) -> jnp.ndarray:
+    """Vectorized ε-complementary-slackness check; only meaningful when the
+    assignment is complete (as in the reference call site,
+    `symmetric.rs:280-285`)."""
+    neg_inf = -jnp.inf
+    profit = jnp.where(
+        problem.row_mask,
+        problem.row_vals - prices[problem.row_cols],
+        neg_inf,
+    )
+    max_profit = jnp.max(profit, axis=0)
+    is_chosen = problem.row_mask & (problem.row_cols == p2o[None, :])
+    chosen_val = jnp.max(
+        jnp.where(is_chosen, problem.row_vals, neg_inf), axis=0
+    )
+    safe_j = jnp.where(p2o != UNASSIGNED, p2o, 0)
+    lhs = chosen_val - prices[safe_j] + toleration
+    return jnp.all(lhs >= max_profit - eps)
+
+
+# ----------------------------------------------------------------------
+# KhoslaSolver core: Jacobi auction with the price-threshold drop rule
+# ----------------------------------------------------------------------
+class KhoslaState(NamedTuple):
+    prices: jnp.ndarray
+    p2o: jnp.ndarray
+    o2p: jnp.ndarray
+    dropped: jnp.ndarray
+    nits: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("max_rounds",))
+def khosla_solve(
+    problem: PaddedProblem,
+    eps,
+    price_threshold,
+    max_rounds: int = 10_000_000,
+):
+    """Solve one instance with the Khosla auction (TPU re-derivation of
+    `ksparse.rs:153-251`).
+
+    The sequential price-threshold drop rule (`ksparse.rs:218-220`) — skip
+    a person whose best-profit object is already priced above
+    ``(M/2)(w_max − w_min + eps)`` — carries over per-round: such persons
+    are permanently dropped, which preserves the finite-termination
+    guarantee on infeasible instances.  ``max_rounds`` is a safety net for
+    the reduced-precision (float32) path where ``price + eps`` can round to
+    ``price``; at float64 the loop provably terminates without it.
+    """
+    dtype = problem.row_vals.dtype
+    n = problem.num_rows
+    m = problem.num_cols
+    eps = jnp.asarray(eps, dtype)
+    price_threshold = jnp.asarray(price_threshold, dtype)
+
+    init = KhoslaState(
+        prices=jnp.zeros(m, dtype),
+        p2o=jnp.full(n, _INT_MAX, jnp.int32),
+        o2p=jnp.full(m, _INT_MAX, jnp.int32),
+        dropped=jnp.zeros(n, bool),
+        nits=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(s: KhoslaState):
+        active = (s.p2o == UNASSIGNED) & ~s.dropped
+        return jnp.any(active) & (s.nits < max_rounds)
+
+    def body(s: KhoslaState):
+        active = (s.p2o == UNASSIGNED) & ~s.dropped
+        best, second, best_col, best_val = top2_profits(problem, s.prices)
+        price_at_best = s.prices[best_col]
+        drop_now = active & (price_at_best > price_threshold)
+        bidder = active & ~drop_now
+        has_second = second != -jnp.inf
+        raw_bid = jnp.where(
+            has_second, best_val - second + eps, price_at_best + eps
+        )
+        bid = jnp.where(bidder, raw_bid, -jnp.inf)
+        prices, p2o, o2p = resolve_and_assign(
+            problem, s.prices, s.p2o, s.o2p, bid, best_col
+        )
+        return KhoslaState(
+            prices=prices,
+            p2o=p2o,
+            o2p=o2p,
+            dropped=s.dropped | drop_now,
+            nits=s.nits + 1,
+        )
+
+    final = lax.while_loop(cond, body, init)
+    num_unassigned = jnp.sum(final.p2o == UNASSIGNED).astype(jnp.int32)
+    return final.prices, final.p2o, final.o2p, num_unassigned, final.nits
+
+
+# ----------------------------------------------------------------------
+# ForwardAuctionSolver core: Jacobi auction with ε-scaling
+# ----------------------------------------------------------------------
+class ForwardState(NamedTuple):
+    prices: jnp.ndarray
+    p2o: jnp.ndarray
+    o2p: jnp.ndarray
+    eps: jnp.ndarray
+    nits: jnp.ndarray
+    nreductions: jnp.ndarray
+    optimal_found: jnp.ndarray
+    done: jnp.ndarray
+
+
+@jax.jit
+def forward_solve(
+    problem: PaddedProblem,
+    start_eps,
+    target_eps,
+    toleration,
+    start_from_optimal_eps,
+    max_iterations,
+):
+    """Solve one instance with the ε-scaling forward auction (TPU
+    re-derivation of `symmetric.rs:218-468`).
+
+    Outer logic matches the reference: rounds run until the assignment is
+    complete; if ε-CS is not yet satisfied at ``target_eps`` the assignment
+    is reset with kept prices and ``eps *= 0.15``
+    (`symmetric.rs:290-324`); infeasible instances are cut off by
+    ``max_iterations`` (`symmetric.rs:326-328`).
+    """
+    dtype = problem.row_vals.dtype
+    n = problem.num_rows
+    m = problem.num_cols
+    start_eps = jnp.asarray(start_eps, dtype)
+    target_eps = jnp.asarray(target_eps, dtype)
+    toleration = jnp.asarray(toleration, dtype)
+    start_from_optimal_eps = jnp.asarray(start_from_optimal_eps, bool)
+    max_iterations = jnp.asarray(max_iterations, jnp.int32)
+
+    init = ForwardState(
+        prices=jnp.zeros(m, dtype),
+        p2o=jnp.full(n, _INT_MAX, jnp.int32),
+        o2p=jnp.full(m, _INT_MAX, jnp.int32),
+        eps=start_eps,
+        nits=jnp.zeros((), jnp.int32),
+        nreductions=jnp.zeros((), jnp.int32),
+        optimal_found=jnp.zeros((), bool),
+        done=jnp.zeros((), bool),
+    )
+
+    def cond(s: ForwardState):
+        return ~s.done
+
+    def body(s: ForwardState):
+        unassigned = s.p2o == UNASSIGNED
+        best, second, best_col, best_val = top2_profits(problem, s.prices)
+        # Bid rule (`symmetric.rs:378`): bid = best edge value − second-best
+        # profit + eps.  Deliberate deviation from the reference for the
+        # single-arc case (second = −inf): the reference bids +inf, which
+        # poisons the price permanently — after an ε-reduction reset the
+        # person sees −inf profit, re-bids NaN (`symmetric.rs:359,378`) and
+        # the solve loops until max_iterations even on feasible instances.
+        # We bid `price + eps` instead (the Khosla guard, `ksparse.rs:226`),
+        # which preserves ε-CS, keeps prices finite (also required for the
+        # float32 fast path) and terminates optimally where the reference
+        # stalls.
+        has_second = second != -jnp.inf
+        raw_bid = jnp.where(
+            has_second,
+            best_val - second + s.eps,
+            s.prices[best_col] + s.eps,
+        )
+        bid = jnp.where(unassigned & (best != -jnp.inf), raw_bid, -jnp.inf)
+        prices, p2o, o2p = resolve_and_assign(
+            problem, s.prices, s.p2o, s.o2p, bid, best_col
+        )
+        nits = s.nits + 1
+        num_unassigned = jnp.sum(p2o == UNASSIGNED)
+        fully = num_unassigned == 0
+
+        def when_full(args):
+            prices, p2o, o2p, eps, nreductions, optimal_found, done = args
+            is_optimal = start_from_optimal_eps | ecs_satisfied_device(
+                problem, prices, p2o, target_eps, toleration
+            )
+            # terminate when optimal, or already below target eps
+            # (shown optimal for eps < 1/n, `symmetric.rs:290-294`)
+            stop = is_optimal | (eps < target_eps)
+            reduce = ~stop
+            eps_new = jnp.where(reduce, eps * jnp.asarray(0.15, dtype), eps)
+            p2o_new = jnp.where(reduce, _INT_MAX, p2o)
+            o2p_new = jnp.where(reduce, _INT_MAX, o2p)
+            return (
+                prices,
+                p2o_new,
+                o2p_new,
+                eps_new,
+                nreductions + reduce.astype(jnp.int32),
+                optimal_found | is_optimal,
+                done | stop,
+            )
+
+        def when_not_full(args):
+            return args
+
+        prices, p2o, o2p, eps, nreductions, optimal_found, done = lax.cond(
+            fully,
+            when_full,
+            when_not_full,
+            (prices, p2o, o2p, s.eps, s.nreductions, s.optimal_found, s.done),
+        )
+        done = done | (nits >= max_iterations)
+        return ForwardState(
+            prices=prices,
+            p2o=p2o,
+            o2p=o2p,
+            eps=eps,
+            nits=nits,
+            nreductions=nreductions,
+            optimal_found=optimal_found,
+            done=done,
+        )
+
+    final = lax.while_loop(cond, body, init)
+    num_unassigned = jnp.sum(final.p2o == UNASSIGNED).astype(jnp.int32)
+    return (
+        final.prices,
+        final.p2o,
+        final.o2p,
+        num_unassigned,
+        final.nits,
+        final.nreductions,
+        final.optimal_found,
+        final.eps,
+    )

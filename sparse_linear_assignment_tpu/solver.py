@@ -1,0 +1,291 @@
+"""Base auction-solver: CSR construction, lifecycle, validation, evaluators.
+
+TPU-native re-derivation of the reference's core solver abstraction
+(``trait AuctionSolver`` default methods, ``/root/reference/src/solver.rs:8-243``).
+The CSR triple (row offsets / per-row counts / column indices / values) is
+built host-side in NumPy with the exact validation contract of the reference
+(rows arrive in nondecreasing order, a row must be nonempty before the next
+row starts, ``num_rows <= num_cols``).  The evaluators (`get_objective`,
+`get_toleration`, `ecs_satisfied`) are vectorized NumPy equivalents of the
+reference's sequential loops; the device-side (jit) versions used inside the
+solve loop live in ``ops/evaluate.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .solution import INDEX_DTYPE, UNASSIGNED, AuctionSolution
+
+
+class AuctionSolver:
+    """Shared base for :class:`KhoslaSolver` and :class:`ForwardAuctionSolver`.
+
+    State mirrors the reference trait accessors
+    (``/root/reference/src/solver.rs:23-38``): ``num_rows``/``num_cols``,
+    ``prices``, and the CSR triple ``i_starts_stops``/``j_counts``/
+    ``column_indices``/``values``.
+    """
+
+    #: dtype for prices/values on device; float64 matches the reference's
+    #: f64 contract (objectives to 1e-9), float32 is the fast TPU path.
+    dtype = np.float64
+
+    def __init__(
+        self,
+        row_capacity: int = 0,
+        column_capacity: int = 0,
+        arcs_capacity: int = 0,
+        dtype=np.float64,
+    ):
+        self.row_capacity = int(row_capacity)
+        self.column_capacity = int(column_capacity)
+        self.arcs_capacity = int(arcs_capacity)
+        self.dtype = np.dtype(dtype)
+
+        self.num_rows: int = 0
+        self.num_cols: int = 0
+        self.prices: np.ndarray = np.zeros(0, dtype=np.float64)
+
+        # CSR storage; Python lists during incremental build, frozen to
+        # arrays lazily at solve time.
+        self._i_starts_stops: list[int] = [0, 0]
+        self._j_counts: list[int] = [0]
+        self._column_indices: list[int] = []
+        self._values: list[float] = []
+        # After a solve, values may live in a (possibly sign-flipped) numpy
+        # array instead of the build lists (reference mutates values in
+        # place on sign flip, solver.rs:214-216).
+        self._frozen_columns: Optional[np.ndarray] = None
+        self._frozen_values: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------------
+    # classmethod constructor mirroring `AuctionSolver::new`
+    # (/root/reference/src/solver.rs:9-13): returns (solver, solution).
+    # ------------------------------------------------------------------
+    @classmethod
+    def new(
+        cls,
+        row_capacity: int,
+        column_capacity: int,
+        arcs_capacity: int,
+        dtype=np.float64,
+    ):
+        solver = cls(row_capacity, column_capacity, arcs_capacity, dtype=dtype)
+        return solver, AuctionSolution.new(row_capacity, column_capacity)
+
+    # ------------------------------------------------------------------
+    # CSR incremental builder (C5: solver.rs:41-106)
+    # ------------------------------------------------------------------
+    def init(self, num_rows: int, num_cols: int) -> None:
+        """Reset CSR storage for a new problem (``solver.rs:191-205``)."""
+        if not num_rows <= num_cols:
+            raise ValueError(
+                f"num_rows ({num_rows}) must be <= num_cols ({num_cols})"
+            )
+        if not num_rows < UNASSIGNED:
+            raise ValueError("num_rows must be < the UNASSIGNED sentinel")
+        self.num_rows = int(num_rows)
+        self.num_cols = int(num_cols)
+        # Reference pre-seeds i_starts_stops=[0,0], j_counts=[0]
+        # (solver.rs:197-200); this shape is pinned by
+        # test_cumulative_idx_diff (symmetric.rs:526-534).
+        self._i_starts_stops = [0, 0]
+        self._j_counts = [0]
+        self._column_indices = []
+        self._values = []
+        self._frozen_columns = None
+        self._frozen_values = None
+
+    def _unfreeze(self) -> None:
+        if self._frozen_values is not None:
+            self._column_indices = self._frozen_columns.tolist()
+            self._values = self._frozen_values.tolist()
+            self._frozen_columns = None
+            self._frozen_values = None
+
+    def add_value(self, row: int, column: int, value: float) -> None:
+        """Append one arc; rows must arrive in nondecreasing order
+        (``solver.rs:41-66``)."""
+        self._unfreeze()
+        current_row = len(self._j_counts) - 1
+        if row != current_row and row != current_row + 1:
+            raise ValueError(
+                f"row {row} out of order (current row {current_row})"
+            )
+        cumulative_offset = self._i_starts_stops[current_row + 1] + 1
+        if row > current_row:
+            if not self._j_counts[current_row] > 0:
+                raise ValueError(f"row {current_row} has no arcs")
+            self._i_starts_stops.append(cumulative_offset)
+            self._j_counts.append(1)
+        else:
+            self._i_starts_stops[current_row + 1] = cumulative_offset
+            self._j_counts[current_row] += 1
+        self._column_indices.append(int(column))
+        self._values.append(float(value))
+
+    def extend_from_values(
+        self, row: int, columns: Sequence[int], values: Sequence[float]
+    ) -> None:
+        """Append a whole row's arcs at once (``solver.rs:68-101``)."""
+        self._unfreeze()
+        columns = np.asarray(columns)
+        values = np.asarray(values, dtype=np.float64)
+        if len(columns) != len(values):
+            raise ValueError("columns and values must have the same length")
+        current_row = len(self._j_counts) - 1
+        if row != current_row and row != current_row + 1:
+            raise ValueError(
+                f"row {row} out of order (current row {current_row})"
+            )
+        length_increment = len(columns)
+        cumulative_offset = self._i_starts_stops[current_row + 1] + length_increment
+        if row > current_row:
+            if not self._j_counts[current_row] > 0:
+                raise ValueError(f"row {current_row} has no arcs")
+            self._i_starts_stops.append(cumulative_offset)
+            self._j_counts.append(length_increment)
+        else:
+            self._i_starts_stops[current_row + 1] = cumulative_offset
+            self._j_counts[current_row] += length_increment
+        self._column_indices.extend(int(c) for c in columns)
+        self._values.extend(float(v) for v in values)
+
+    def num_of_arcs(self) -> int:
+        if self._frozen_values is not None:
+            return int(self._frozen_values.shape[0])
+        return len(self._column_indices)
+
+    # Array views of the CSR state (accessors in the reference trait).
+    @property
+    def i_starts_stops(self) -> np.ndarray:
+        return np.asarray(self._i_starts_stops, dtype=np.int64)
+
+    @property
+    def j_counts(self) -> np.ndarray:
+        return np.asarray(self._j_counts, dtype=np.int64)
+
+    @property
+    def column_indices(self) -> np.ndarray:
+        if self._frozen_columns is not None:
+            return self._frozen_columns
+        return np.asarray(self._column_indices, dtype=INDEX_DTYPE)
+
+    @property
+    def values(self) -> np.ndarray:
+        if self._frozen_values is not None:
+            return self._frozen_values
+        return np.asarray(self._values, dtype=np.float64)
+
+    def _freeze(self) -> None:
+        """Snapshot build lists into numpy arrays (one-time per solve)."""
+        if self._frozen_values is None:
+            self._frozen_columns = np.asarray(
+                self._column_indices, dtype=INDEX_DTYPE
+            )
+            self._frozen_values = np.asarray(self._values, dtype=np.float64)
+
+    # ------------------------------------------------------------------
+    # Lifecycle (C6: solver.rs:191-243)
+    # ------------------------------------------------------------------
+    def validate_input(self) -> None:
+        """Sanity checks before a solve (``solver.rs:232-243``)."""
+        arcs_count = self.num_of_arcs()
+        if not arcs_count > 0:
+            raise ValueError("no arcs")
+        if not (self.num_rows > 0 and self.num_cols > 0):
+            raise ValueError("empty problem")
+        if not arcs_count < UNASSIGNED:
+            raise ValueError("too many arcs for int32 indexing")
+        cols = self.column_indices
+        if cols.size and int(cols.max()) >= self.num_cols:
+            raise ValueError("column index out of range")
+
+    def init_solve(self, solution: AuctionSolution, maximize: bool) -> None:
+        """Reset per-solve state; flip stored value signs when
+        ``maximize ^ positive_values`` exactly like the reference
+        (``solver.rs:207-230``) so minimize runs as max-profit auction on
+        negated values and solving twice re-flips correctly."""
+        self._freeze()
+        vals = self._frozen_values
+        positive_values = bool(vals[0] >= 0.0) if vals.size else True
+        if maximize ^ positive_values:
+            self._frozen_values = -vals
+
+        self.prices = np.zeros(self.num_cols, dtype=np.float64)
+        solution.person_to_object = np.full(
+            self.num_rows, UNASSIGNED, dtype=INDEX_DTYPE
+        )
+        solution.object_to_person = np.full(
+            self.num_cols, UNASSIGNED, dtype=INDEX_DTYPE
+        )
+        solution.num_unassigned = self.num_rows
+
+    # ------------------------------------------------------------------
+    # Evaluators (C7, C8: solver.rs:108-189)
+    # ------------------------------------------------------------------
+    def get_objective(self, solution: AuctionSolution) -> float:
+        """Objective of the current assignment in original cost units.
+
+        Vectorized equivalent of the reference's row re-scan
+        (``solver.rs:108-142``) including the values[0]-sign quirk: stored
+        values may have been negated by ``init_solve``; the reported
+        objective is sign-corrected so it is always in original units.
+        """
+        vals = self.values
+        cols = self.column_indices
+        if vals.size == 0:
+            return 0.0
+        positive_values = bool(vals[0] >= 0.0)
+        p2o = np.asarray(solution.person_to_object)
+        starts = self.i_starts_stops
+        counts = self.j_counts
+
+        # arc -> owning row, then match each arc's column against the
+        # row's chosen object; unassigned rows (sentinel) never match.
+        row_of_arc = np.repeat(
+            np.arange(len(counts), dtype=np.int64), counts.astype(np.int64)
+        )
+        chosen = p2o[row_of_arc].astype(np.int64)
+        matched = cols.astype(np.int64) == chosen
+        obj = float(vals[matched].sum())
+        del starts
+        return obj if positive_values else -obj
+
+    def get_toleration(self, max_abs_cost: float) -> float:
+        """Float tolerance for the ε-CS certificate (``solver.rs:144-146``):
+        one ulp-style bound at the magnitude of the largest cost."""
+        # Rust truncates log2 toward zero and saturates negatives at 0 when
+        # casting f64 -> u32.
+        exp = max(0, int(np.log2(max_abs_cost + 1e-7)))
+        return float(2.0 ** (exp - 53))
+
+    def ecs_satisfied(
+        self, person_to_object: np.ndarray, eps: float, toleration: float
+    ) -> bool:
+        """ε-complementary-slackness check (``solver.rs:154-189``):
+        for every person i with chosen object j,
+        ``max_k (a_ik - p_k) - eps <= a_ij - p_j + tol``."""
+        vals = self.values
+        cols = self.column_indices.astype(np.int64)
+        counts = self.j_counts.astype(np.int64)
+        prices = self.prices
+        p2o = np.asarray(person_to_object).astype(np.int64)
+
+        row_of_arc = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        profit = vals - prices[cols]
+        chosen = p2o[row_of_arc]
+        is_chosen = cols == chosen
+        # chosen profit per row (−inf when the chosen object is not among
+        # the row's arcs, matching the reference's NEG_INFINITY default)
+        chosen_value = np.full(len(counts), -np.inf)
+        np.maximum.at(chosen_value, row_of_arc[is_chosen], vals[is_chosen])
+        safe_j = np.where(p2o < len(prices), p2o, 0)
+        lhs = chosen_value - prices[safe_j] + toleration
+        # max profit per row
+        max_profit = np.full(len(counts), -np.inf)
+        np.maximum.at(max_profit, row_of_arc, profit)
+        return bool(np.all(lhs >= max_profit - eps))

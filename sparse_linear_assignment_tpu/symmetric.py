@@ -1,0 +1,131 @@
+"""ForwardAuctionSolver — ε-scaling forward auction, TPU-native.
+
+Re-derivation of the reference `ForwardAuctionSolver`
+(`/root/reference/src/symmetric.rs:75-468`, after the sslap package).
+The Jacobi "all unassigned people bid each round" schedule that the
+reference *specifies* (`symmetric.rs:11-12`) but executes sequentially is
+here executed literally, as one jitted `lax.while_loop` round (see
+`ops/auction.py`), with the reference's outer logic intact:
+
+- ε-scaling: start at ``C / 2``; on full-but-not-ε-CS assignment multiply
+  eps by 0.15 and restart assignments with kept prices
+  (`symmetric.rs:268-273,290-324`).
+- asymmetric instances disable ε-scaling and start from
+  ``target_eps − f64::EPSILON`` (`symmetric.rs:256-267`).
+- infeasible instances loop until ``max_iterations`` (default 100_000,
+  `symmetric.rs:190,326-328`).
+
+Example
+-------
+>>> from sparse_linear_assignment_tpu import ForwardAuctionSolver
+>>> solver, solution = ForwardAuctionSolver.new(10, 10, 100)
+>>> weights = [[10, 6, 14, 1], [17, 18, 16]]
+>>> solver.init(2, 4)
+>>> for i, row in enumerate(weights):
+...     solver.extend_from_values(i, range(len(row)), row)
+>>> solver.solve(solution, maximize=False)
+>>> assert solution.num_unassigned == 0
+>>> assert solver.get_objective(solution) == 1.0 + 16.0
+>>> assert list(solution.person_to_object) == [3, 2]
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .ops.auction import forward_solve
+from .ops.padded import build_padded_problem
+from .solution import AuctionSolution
+from .solver import AuctionSolver
+
+REDUCTION_FACTOR = 0.15  # `symmetric.rs:189`
+MAX_ITERATIONS = 100_000  # `symmetric.rs:190`
+_F64_EPSILON = float(np.finfo(np.float64).eps)
+
+
+class ForwardAuctionSolver(AuctionSolver):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.nits: int = 0  # Jacobi rounds (reference counts the same unit)
+        self.nreductions: int = 0
+        self.optimal_soln_found: bool = False
+        self.max_iterations: int = MAX_ITERATIONS
+
+    def solve(
+        self,
+        solution: AuctionSolution,
+        maximize: bool = False,
+        eps: Optional[float] = None,
+    ) -> None:
+        """`symmetric.rs:177-186` — delegates to :meth:`solve_with_params`."""
+        self.solve_with_params(solution, maximize, eps, None, None)
+
+    def solve_with_params(
+        self,
+        solution: AuctionSolution,
+        maximize: bool = False,
+        eps: Optional[float] = None,
+        start_eps: Optional[float] = None,
+        max_iterations: Optional[int] = None,
+    ) -> None:
+        """Full-parameter solve (`symmetric.rs:218-332`)."""
+        self.validate_input()
+        self.init_solve(solution, maximize)
+
+        target_eps = (
+            float(eps) if eps is not None else 1.0 / float(self.num_rows)
+        )
+        self.max_iterations = (
+            int(max_iterations) if max_iterations is not None else MAX_ITERATIONS
+        )
+
+        values = self.values  # possibly sign-flipped by init_solve
+        c = float(np.abs(values).max()) if values.size else 0.0
+        toleration = self.get_toleration(c)
+
+        start_from_optimal_eps = (
+            start_eps is not None and start_eps < target_eps
+        )
+        if self.num_rows != self.num_cols:
+            # Forward auction does not support ε-scaling on asymmetric
+            # instances (`symmetric.rs:256-267`).
+            start_from_optimal_eps = True
+            eps0 = target_eps - _F64_EPSILON
+        else:
+            eps0 = float(start_eps) if start_eps is not None else c / 2.0
+
+        problem = build_padded_problem(
+            self.num_rows,
+            self.num_cols,
+            self.j_counts,
+            self.column_indices,
+            values,
+            dtype=self.dtype,
+        )
+        (
+            prices,
+            p2o,
+            o2p,
+            num_unassigned,
+            nits,
+            nreductions,
+            optimal_found,
+            final_eps,
+        ) = forward_solve(
+            problem,
+            eps0,
+            target_eps,
+            toleration,
+            start_from_optimal_eps,
+            self.max_iterations,
+        )
+        self.prices = np.asarray(prices, dtype=np.float64)
+        solution.person_to_object = np.asarray(p2o)
+        solution.object_to_person = np.asarray(o2p)
+        solution.num_unassigned = int(num_unassigned)
+        solution.eps = float(final_eps)
+        self.nits = int(nits)
+        self.nreductions = int(nreductions)
+        self.optimal_soln_found = bool(optimal_found)

@@ -1,0 +1,83 @@
+"""Infeasible-instance contracts (SURVEY.md §5.3).
+
+Khosla's price-threshold drop rule guarantees finite termination without a
+perfect matching (ksparse.rs:181,218-220); the forward auction loops and is
+cut off by ``max_iterations`` (symmetric.rs:190,326-328).  Mirrors
+``test_random_no_perfect_matching`` (solver.rs:317-337) with NumPy seeds
+chosen so the 9x9 k=3 instance has no perfect matching.
+"""
+
+import numpy as np
+import pytest
+from scipy.sparse import csr_matrix
+from scipy.sparse.csgraph import maximum_bipartite_matching
+
+from sparse_linear_assignment_tpu import (
+    UNASSIGNED,
+    ForwardAuctionSolver,
+    KhoslaSolver,
+)
+from sparse_linear_assignment_tpu.generators import gen_ksparse_uniform
+
+
+def max_matching_size(solver) -> int:
+    counts = solver.j_counts.astype(np.int64)
+    rows = np.repeat(np.arange(solver.num_rows), counts)
+    cols = solver.column_indices.astype(np.int64)
+    m = csr_matrix(
+        (np.ones(len(rows)), (rows, cols)),
+        shape=(solver.num_rows, solver.num_cols),
+    )
+    match = maximum_bipartite_matching(m, perm_type="column")
+    return int((match != -1).sum())
+
+
+# seeds with 9x9 k=3 instances whose maximum matching is 8 and 7
+@pytest.mark.parametrize("seed,expected_matching", [(6, 8), (22, 7)])
+def test_khosla_no_perfect_matching(seed, expected_matching):
+    n, k = 9, 3
+    solver, solution = KhoslaSolver.new(n, n, n * k)
+    gen_ksparse_uniform(solver, seed, n, n, k, max_value=10.0)
+    assert max_matching_size(solver) == expected_matching
+    solver.solve(solution, False)
+    # finite termination, partial matching found
+    assert solution.num_unassigned >= n - expected_matching
+    assert solution.num_unassigned < n
+    # matching consistency
+    p2o = np.asarray(solution.person_to_object)
+    assigned = p2o != UNASSIGNED
+    assert int(assigned.sum()) == n - solution.num_unassigned
+    for i in np.nonzero(assigned)[0]:
+        assert solution.object_to_person[p2o[i]] == i
+
+
+@pytest.mark.parametrize("seed", [6, 22])
+def test_forward_max_iterations_cutoff(seed):
+    n, k = 9, 3
+    solver, solution = ForwardAuctionSolver.new(n, n, n * k)
+    gen_ksparse_uniform(solver, seed, n, n, k, max_value=10.0)
+    solver.solve_with_params(solution, False, None, None, max_iterations=200)
+    assert solver.nits == 200  # hit the cutoff
+    assert not solver.optimal_soln_found
+    assert solution.num_unassigned >= 1
+
+
+def test_khosla_two_persons_one_object():
+    # both persons connected only to object 0 of a 2x2 problem
+    solver, solution = KhoslaSolver.new(2, 2, 2)
+    solver.init(2, 2)
+    solver.add_value(0, 0, 1.0)
+    solver.add_value(1, 0, 2.0)
+    solver.solve(solution, False)
+    assert solution.num_unassigned == 1
+    assert int((np.asarray(solution.person_to_object) != UNASSIGNED).sum()) == 1
+
+
+def test_forward_two_persons_one_object():
+    solver, solution = ForwardAuctionSolver.new(2, 2, 2)
+    solver.init(2, 2)
+    solver.add_value(0, 0, 1.0)
+    solver.add_value(1, 0, 2.0)
+    solver.solve_with_params(solution, False, None, None, max_iterations=100)
+    assert solution.num_unassigned == 1
+    assert not solver.optimal_soln_found
