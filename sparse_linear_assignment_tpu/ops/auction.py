@@ -195,6 +195,10 @@ def khosla_solve(
 
     def body(s: KhoslaState):
         active = (s.p2o == UNASSIGNED) & ~s.dropped
+        # under vmap the loop runs until the slowest batch instance
+        # terminates; finished instances take no-op rounds and must not
+        # keep counting
+        any_active = jnp.any(active)
         best, second, best_col, best_val = top2_profits(problem, s.prices)
         price_at_best = s.prices[best_col]
         drop_now = active & (price_at_best > price_threshold)
@@ -212,7 +216,7 @@ def khosla_solve(
             p2o=p2o,
             o2p=o2p,
             dropped=s.dropped | drop_now,
-            nits=s.nits + 1,
+            nits=s.nits + any_active.astype(jnp.int32),
         )
 
     final = lax.while_loop(cond, body, init)
@@ -298,9 +302,10 @@ def forward_solve(
         prices, p2o, o2p = resolve_and_assign(
             problem, s.prices, s.p2o, s.o2p, bid, best_col
         )
-        nits = s.nits + 1
+        # no-op guard for finished instances under vmap
+        nits = s.nits + (~s.done).astype(jnp.int32)
         num_unassigned = jnp.sum(p2o == UNASSIGNED)
-        fully = num_unassigned == 0
+        fully = (num_unassigned == 0) & ~s.done
 
         def when_full(args):
             prices, p2o, o2p, eps, nreductions, optimal_found, done = args

@@ -1,0 +1,100 @@
+"""Batched (vmapped) solve tests — the TPU-native capability the
+sequential reference cannot express (SURVEY.md §2)."""
+
+import numpy as np
+import pytest
+from scipy.optimize import linear_sum_assignment
+
+from sparse_linear_assignment_tpu import UNASSIGNED
+from sparse_linear_assignment_tpu.batch import BatchedLAP, solve_batch
+
+
+def oracle_batch(costs, maximize=False):
+    out = []
+    for mat in costs:
+        r, c = linear_sum_assignment(mat, maximize=maximize)
+        out.append(mat[r, c].sum())
+    return np.array(out)
+
+
+@pytest.mark.parametrize("solver", ["forward", "khosla"])
+@pytest.mark.parametrize("maximize", [False, True])
+def test_batch_dense_vs_oracle(solver, maximize):
+    rng = np.random.default_rng(0)
+    b, n = 8, 16
+    costs = rng.uniform(1.0, 10.0, size=(b, n, n))
+    sol = solve_batch(costs, maximize=maximize, solver=solver,
+                      dtype=np.float64)
+    assert np.all(sol.num_unassigned == 0)
+    want = oracle_batch(costs, maximize)
+    gap = n * np.maximum(sol.eps, 0)
+    if maximize:
+        assert np.all(sol.objective <= want + 1e-9)
+        assert np.all(sol.objective >= want - gap - 1e-9)
+    else:
+        assert np.all(sol.objective >= want - 1e-9)
+        assert np.all(sol.objective <= want + gap + 1e-9)
+
+
+@pytest.mark.parametrize("solver", ["forward", "khosla"])
+def test_batch_integer_exact(solver):
+    rng = np.random.default_rng(1)
+    b, n = 6, 12
+    costs = rng.integers(1, 100, size=(b, n, n)).astype(np.float64)
+    sol = solve_batch(costs, solver=solver, dtype=np.float64,
+                      eps=1.0 / (n + 1))
+    want = oracle_batch(costs)
+    assert np.all(sol.num_unassigned == 0)
+    np.testing.assert_allclose(sol.objective, want, atol=1e-9)
+
+
+@pytest.mark.parametrize("solver", ["forward", "khosla"])
+def test_batch_float32_path(solver):
+    rng = np.random.default_rng(2)
+    b, n = 4, 32
+    costs = rng.integers(1, 100, size=(b, n, n)).astype(np.float64)
+    sol = solve_batch(costs, solver=solver, dtype=np.float32)
+    assert np.all(sol.num_unassigned == 0)
+    want = oracle_batch(costs)
+    # float32 + default eps: epsilon-optimal
+    gap = n * np.maximum(sol.eps, 1.0 / n)
+    assert np.all(sol.objective <= want + gap + 1e-3)
+
+
+def test_batch_asymmetric():
+    rng = np.random.default_rng(3)
+    b, n, m = 5, 8, 20
+    costs = rng.uniform(0.0, 10.0, size=(b, n, m))
+    sol = solve_batch(costs, solver="forward", dtype=np.float64)
+    assert np.all(sol.num_unassigned == 0)
+    want = oracle_batch(costs)
+    gap = n * np.maximum(sol.eps, 0)
+    assert np.all(sol.objective >= want - 1e-9)
+    assert np.all(sol.objective <= want + gap + 1e-9)
+    # inverse consistency
+    for bi in range(b):
+        p2o = sol.person_to_object[bi]
+        for i, j in enumerate(p2o):
+            if j != UNASSIGNED:
+                assert sol.object_to_person[bi, j] == i
+
+
+def test_batched_lap_reuse():
+    lap = BatchedLAP(batch=3, num_rows=10, num_cols=10, solver="khosla",
+                     dtype=np.float64)
+    rng = np.random.default_rng(4)
+    for _ in range(2):
+        costs = rng.uniform(1, 5, size=(3, 10, 10))
+        sol = lap.solve(costs)
+        assert np.all(sol.num_unassigned == 0)
+        want = oracle_batch(costs)
+        assert np.all(sol.objective <= want + 10 * sol.eps + 1e-9)
+    with pytest.raises(ValueError):
+        lap.solve(np.zeros((2, 10, 10)))
+
+
+def test_batch_input_validation():
+    with pytest.raises(ValueError):
+        solve_batch(np.zeros((4, 4)))
+    with pytest.raises(ValueError):
+        solve_batch(np.zeros((1, 5, 4)))
