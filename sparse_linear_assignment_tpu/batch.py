@@ -25,7 +25,7 @@ import numpy as np
 from jax import lax
 
 from .ops.auction import forward_solve, khosla_solve
-from .ops.padded import PaddedProblem
+from .ops.dense import DenseProblem
 from .solution import UNASSIGNED
 
 
@@ -46,27 +46,6 @@ class BatchSolution:
     nits: np.ndarray  # int32 [B]
 
 
-def _dense_problem_template(n: int, m: int, dtype) -> PaddedProblem:
-    """Shared (batch-invariant) index/mask structure of a dense instance:
-    every person is connected to every object, so the CSR columns and CSC
-    persons are iotas and only the values carry a batch dimension."""
-    row_cols = jnp.broadcast_to(
-        lax.broadcasted_iota(jnp.int32, (m, 1), 0), (m, n)
-    )
-    row_mask = jnp.ones((m, n), bool)
-    col_persons = jnp.broadcast_to(
-        lax.broadcasted_iota(jnp.int32, (n, 1), 0), (n, m)
-    )
-    col_mask = jnp.ones((n, m), bool)
-    return PaddedProblem(
-        row_cols=row_cols,
-        row_vals=jnp.zeros((m, n), dtype),  # placeholder, replaced per batch
-        row_mask=row_mask,
-        col_persons=col_persons,
-        col_mask=col_mask,
-    )
-
-
 @functools.partial(
     jax.jit, static_argnames=("solver", "max_iterations", "n", "m")
 )
@@ -82,16 +61,10 @@ def _solve_batch_dense(
     m: int,
 ):
     dtype = values_t.dtype
-    template = _dense_problem_template(n, m, dtype)
 
     def make_problem(vals_t):
-        return PaddedProblem(
-            row_cols=template.row_cols,
-            row_vals=vals_t,
-            row_mask=template.row_mask,
-            col_persons=template.col_persons,
-            col_mask=template.col_mask,
-        )
+        # gather-free dense representation (see ops/dense.py)
+        return DenseProblem(vals_t)
 
     if solver == "khosla":
 

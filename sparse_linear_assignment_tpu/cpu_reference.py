@@ -1,0 +1,151 @@
+"""ctypes bindings to the native C++ sequential auction engine.
+
+The shared library is compiled on demand with g++ (cached next to the
+source); see ``native/engine.cpp`` for the engine itself.  The wrapper
+replicates the reference solver lifecycle (sign flip, eps defaults,
+sentinel conversion) so results are directly comparable with both the
+Rust crate's semantics and the TPU solvers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from .solution import INDEX_DTYPE, UNASSIGNED, AuctionSolution
+
+_NATIVE_DIR = Path(__file__).parent / "native"
+_SRC = _NATIVE_DIR / "engine.cpp"
+_SO = _NATIVE_DIR / "libslapengine.so"
+
+_lib = None
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        str(_SRC), "-o", str(_SO),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib() -> ctypes.CDLL:
+    """Load (building if needed) the native engine."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        _build()
+    lib = ctypes.CDLL(str(_SO))
+
+    i64 = ctypes.c_int64
+    p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    p_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+    lib.slap_khosla_solve.restype = ctypes.c_int
+    lib.slap_khosla_solve.argtypes = [
+        i64, i64, p_i64, p_i32, p_f64, ctypes.c_double,
+        p_i32, p_i32, p_f64, ctypes.POINTER(i64),
+    ]
+    lib.slap_forward_solve.restype = ctypes.c_int
+    lib.slap_forward_solve.argtypes = [
+        i64, i64, p_i64, p_i32, p_f64,
+        ctypes.c_double, ctypes.c_double, i64,
+        p_i32, p_i32, p_f64,
+        ctypes.POINTER(i64), ctypes.POINTER(i64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    _lib = lib
+    return lib
+
+
+def _prep(solver, maximize: bool):
+    """Apply the reference init_solve sign handling and return CSR views."""
+    solver.validate_input()
+    solution = AuctionSolution.new()
+    solver.init_solve(solution, maximize)
+    counts = solver.j_counts.astype(np.int64)
+    starts = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    cols = np.ascontiguousarray(solver.column_indices, dtype=np.int32)
+    vals = np.ascontiguousarray(solver.values, dtype=np.float64)
+    return solution, starts, cols, vals
+
+
+def _finish(solver, solution, p2o, o2p, prices):
+    p2o = np.where(p2o < 0, UNASSIGNED, p2o).astype(INDEX_DTYPE)
+    o2p = np.where(o2p < 0, UNASSIGNED, o2p).astype(INDEX_DTYPE)
+    solution.person_to_object = p2o
+    solution.object_to_person = o2p
+    solution.num_unassigned = int((p2o == UNASSIGNED).sum())
+    solver.prices = prices
+    return solution
+
+
+def khosla_solve_cpu(
+    solver, maximize: bool = False, eps: Optional[float] = None
+):
+    """Sequential Khosla solve of ``solver``'s current instance on CPU.
+    Returns ``(solution, nits)``; pops counted like the reference."""
+    lib = get_lib()
+    solution, starts, cols, vals = _prep(solver, maximize)
+    n, m = solver.num_rows, solver.num_cols
+    eps_val = float(eps) if eps is not None else 1.0 / float(m)
+    solution.eps = eps_val
+
+    p2o = np.empty(n, dtype=np.int32)
+    o2p = np.empty(m, dtype=np.int32)
+    prices = np.empty(m, dtype=np.float64)
+    nits = ctypes.c_int64(0)
+    rc = lib.slap_khosla_solve(
+        n, m, starts, cols, vals, eps_val, p2o, o2p, prices,
+        ctypes.byref(nits),
+    )
+    assert rc == 0
+    return _finish(solver, solution, p2o, o2p, prices), int(nits.value)
+
+
+def forward_solve_cpu(
+    solver,
+    maximize: bool = False,
+    eps: Optional[float] = None,
+    start_eps: Optional[float] = None,
+    max_iterations: int = 100_000,
+):
+    """Sequential eps-scaling forward solve on CPU.  Returns
+    ``(solution, nits, nreductions, optimal_found)``."""
+    lib = get_lib()
+    solution, starts, cols, vals = _prep(solver, maximize)
+    n, m = solver.num_rows, solver.num_cols
+    target_eps = float(eps) if eps is not None else 1.0 / float(n)
+
+    p2o = np.empty(n, dtype=np.int32)
+    o2p = np.empty(m, dtype=np.int32)
+    prices = np.empty(m, dtype=np.float64)
+    nits = ctypes.c_int64(0)
+    nreductions = ctypes.c_int64(0)
+    optimal = ctypes.c_int32(0)
+    final_eps = ctypes.c_double(0.0)
+    rc = lib.slap_forward_solve(
+        n, m, starts, cols, vals,
+        target_eps,
+        -1.0 if start_eps is None else float(start_eps),
+        int(max_iterations),
+        p2o, o2p, prices,
+        ctypes.byref(nits), ctypes.byref(nreductions),
+        ctypes.byref(optimal), ctypes.byref(final_eps),
+    )
+    assert rc == 0
+    solution.eps = float(final_eps.value)
+    return (
+        _finish(solver, solution, p2o, o2p, prices),
+        int(nits.value),
+        int(nreductions.value),
+        bool(optimal.value),
+    )

@@ -26,14 +26,24 @@ def gen_symmetric_input(
     filter_rng = np.random.default_rng(seed + 1)
 
     ensured = filter_rng.permutation(size)
-    keep = filter_rng.random((size, size)) < density
-    keep[np.arange(size), ensured] = True
-
     solver.init(size, size)
-    for i in range(size):
-        cols = np.nonzero(keep[i])[0]
-        vals = val_rng.uniform(min_value, max_value, size=cols.shape[0])
-        solver.extend_from_values(i, cols, vals)
+    if size <= 4096:
+        keep = filter_rng.random((size, size)) < density
+        keep[np.arange(size), ensured] = True
+        for i in range(size):
+            cols = np.nonzero(keep[i])[0]
+            vals = val_rng.uniform(min_value, max_value, size=cols.shape[0])
+            solver.extend_from_values(i, cols, vals)
+    else:
+        # large instances: sample per-row arc counts Binomial(size, density)
+        # and positions without the O(size^2) Bernoulli sweep (same
+        # distribution, different stream)
+        n_extra = filter_rng.binomial(size, density, size=size)
+        for i in range(size):
+            cols = filter_rng.choice(size, size=n_extra[i], replace=False)
+            cols = np.union1d(cols, [ensured[i]])
+            vals = val_rng.uniform(min_value, max_value, size=cols.shape[0])
+            solver.extend_from_values(i, cols, vals)
 
 
 def gen_asymmetric_input(

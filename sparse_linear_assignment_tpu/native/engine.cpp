@@ -1,0 +1,229 @@
+// Native sequential auction engine (CPU).
+//
+// Single-threaded C++ implementations of the two auction algorithms with
+// the same sequential semantics as the Rust reference crate
+// (/root/reference/src/ksparse.rs:153-251 and src/symmetric.rs:218-468):
+// Khosla's stack-driven auction with the price-threshold drop rule, and
+// the eps-scaling forward auction.  Used as
+//   (a) the CPU performance baseline standing in for the Rust crate
+//       (no Rust toolchain in this environment, see BASELINE.md), and
+//   (b) an independent sequential oracle for cross-checking the TPU
+//       solvers' objectives.
+//
+// Conventions: CSR with row offset array starts[n_rows+1]; indices are
+// int32; "unassigned" is -1 internally (the Python wrapper converts to
+// the package's INT32_MAX sentinel).  Values arrive already sign-adjusted
+// for profit maximization (the wrapper replicates the reference's
+// init_solve sign flip).
+
+#include <cstdint>
+#include <cmath>
+#include <limits>
+#include <vector>
+
+namespace {
+
+constexpr double kNegInf = -std::numeric_limits<double>::infinity();
+constexpr double kPosInf = std::numeric_limits<double>::infinity();
+
+// Best and second-best profit over one person's arcs.
+struct Choice {
+  double best_profit = kNegInf;
+  double second_profit = kNegInf;
+  double best_value = kNegInf;
+  int32_t best_col = 0;
+};
+
+inline Choice scan_row(const int64_t* starts, const int32_t* cols,
+                       const double* vals, const double* prices, int64_t u) {
+  Choice c;
+  for (int64_t a = starts[u]; a < starts[u + 1]; ++a) {
+    const int32_t j = cols[a];
+    const double value = vals[a];
+    const double profit = value - prices[j];
+    if (profit > c.best_profit) {
+      c.second_profit = c.best_profit;
+      c.best_profit = profit;
+      c.best_value = value;
+      c.best_col = j;
+    } else if (profit > c.second_profit) {
+      c.second_profit = profit;
+    }
+  }
+  return c;
+}
+
+bool ecs_holds(int64_t n_rows, const int64_t* starts, const int32_t* cols,
+               const double* vals, const double* prices, const int32_t* p2o,
+               double eps, double tol) {
+  for (int64_t i = 0; i < n_rows; ++i) {
+    const int32_t j = p2o[i];
+    double chosen = kNegInf;
+    for (int64_t a = starts[i]; a < starts[i + 1]; ++a) {
+      if (cols[a] == j) chosen = vals[a];
+    }
+    const double lhs = chosen - prices[j] + tol;
+    for (int64_t a = starts[i]; a < starts[i + 1]; ++a) {
+      if (lhs < vals[a] - prices[cols[a]] - eps) return false;
+    }
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Sequential Khosla auction.  Returns 0 on success.
+int slap_khosla_solve(int64_t n_rows, int64_t n_cols, const int64_t* starts,
+                      const int32_t* cols, const double* vals, double eps,
+                      int32_t* p2o, int32_t* o2p, double* prices,
+                      int64_t* nits_out) {
+  for (int64_t i = 0; i < n_rows; ++i) p2o[i] = -1;
+  for (int64_t j = 0; j < n_cols; ++j) {
+    o2p[j] = -1;
+    prices[j] = 0.0;
+  }
+
+  double w_min = kPosInf, w_max = kNegInf;
+  const int64_t nnz = starts[n_rows];
+  for (int64_t a = 0; a < nnz; ++a) {
+    if (vals[a] < w_min) w_min = vals[a];
+    if (vals[a] > w_max) w_max = vals[a];
+  }
+  const double threshold =
+      (static_cast<double>(n_cols) / 2.0) * (w_max - w_min + eps);
+
+  std::vector<int32_t> stack;
+  stack.reserve(n_rows);
+  for (int64_t i = n_rows - 1; i >= 0; --i)
+    stack.push_back(static_cast<int32_t>(i));
+
+  int64_t nits = 0;
+  while (!stack.empty()) {
+    const int32_t u = stack.back();
+    stack.pop_back();
+    ++nits;
+
+    const Choice c = scan_row(starts, cols, vals, prices, u);
+    const int32_t v = c.best_col;
+    if (prices[v] > threshold) continue;  // drop rule: u stays unassigned
+
+    if (std::isfinite(c.second_profit)) {
+      prices[v] = c.best_value - c.second_profit + eps;
+    } else {
+      prices[v] += eps;
+    }
+
+    const int32_t displaced = o2p[v];
+    if (displaced >= 0) {
+      p2o[displaced] = -1;
+      stack.push_back(displaced);
+    }
+    p2o[u] = v;
+    o2p[v] = u;
+  }
+  *nits_out = nits;
+  return 0;
+}
+
+// Sequential eps-scaling forward auction.  start_eps < 0 means "none".
+int slap_forward_solve(int64_t n_rows, int64_t n_cols, const int64_t* starts,
+                       const int32_t* cols, const double* vals,
+                       double target_eps, double start_eps,
+                       int64_t max_iterations, int32_t* p2o, int32_t* o2p,
+                       double* prices, int64_t* nits_out,
+                       int64_t* nreductions_out, int32_t* optimal_out,
+                       double* final_eps_out) {
+  for (int64_t i = 0; i < n_rows; ++i) p2o[i] = -1;
+  for (int64_t j = 0; j < n_cols; ++j) {
+    o2p[j] = -1;
+    prices[j] = 0.0;
+  }
+
+  const int64_t nnz = starts[n_rows];
+  double c_max = 0.0;
+  for (int64_t a = 0; a < nnz; ++a) c_max = std::max(c_max, std::fabs(vals[a]));
+  // ulp-scale certificate tolerance (reference get_toleration)
+  int exp2 = static_cast<int>(std::log2(c_max + 1e-7));
+  if (exp2 < 0) exp2 = 0;
+  const double tol = std::ldexp(1.0, exp2 - 53);
+
+  bool from_optimal_eps = start_eps >= 0.0 && start_eps < target_eps;
+  double eps;
+  if (n_rows != n_cols) {
+    from_optimal_eps = true;  // no eps-scaling for asymmetric instances
+    eps = target_eps - std::numeric_limits<double>::epsilon();
+  } else {
+    eps = start_eps >= 0.0 ? start_eps : c_max / 2.0;
+  }
+
+  std::vector<double> best_bid(n_cols, kNegInf);
+  std::vector<int32_t> best_bidder(n_cols, -1);
+  std::vector<int32_t> unassigned;
+  unassigned.reserve(n_rows);
+  for (int64_t i = 0; i < n_rows; ++i)
+    unassigned.push_back(static_cast<int32_t>(i));
+
+  int64_t nits = 0, nreductions = 0;
+  bool optimal = false;
+
+  while (true) {
+    // --- one Jacobi round: every unassigned person bids ---
+    std::vector<int32_t> touched;
+    touched.reserve(unassigned.size());
+    for (const int32_t i : unassigned) {
+      const Choice ch = scan_row(starts, cols, vals, prices, i);
+      if (ch.best_profit == kNegInf) continue;  // nothing biddable
+      double bid = ch.best_value - ch.second_profit + eps;  // may be +inf
+      const int32_t j = ch.best_col;
+      if (bid > best_bid[j]) {
+        if (best_bidder[j] < 0) touched.push_back(j);
+        best_bid[j] = bid;
+        best_bidder[j] = i;
+      }
+    }
+    for (const int32_t j : touched) {
+      const int32_t i = best_bidder[j];
+      prices[j] = best_bid[j];
+      const int32_t prev = o2p[j];
+      if (prev >= 0) p2o[prev] = -1;
+      p2o[i] = j;
+      o2p[j] = i;
+      best_bid[j] = kNegInf;
+      best_bidder[j] = -1;
+    }
+    unassigned.clear();
+    for (int64_t i = 0; i < n_rows; ++i) {
+      if (p2o[i] < 0) unassigned.push_back(static_cast<int32_t>(i));
+    }
+    ++nits;
+
+    if (unassigned.empty()) {
+      const bool is_optimal =
+          from_optimal_eps ||
+          ecs_holds(n_rows, starts, cols, vals, prices, p2o, target_eps, tol);
+      if (is_optimal) {
+        optimal = true;
+        break;
+      }
+      if (eps < target_eps) break;  // optimal for eps < 1/n
+      eps *= 0.15;
+      ++nreductions;
+      for (int64_t i = 0; i < n_rows; ++i) p2o[i] = -1;
+      for (int64_t j = 0; j < n_cols; ++j) o2p[j] = -1;
+      unassigned.clear();
+      for (int64_t i = 0; i < n_rows; ++i)
+        unassigned.push_back(static_cast<int32_t>(i));
+    }
+    if (nits >= max_iterations) break;
+  }
+
+  *nits_out = nits;
+  *nreductions_out = nreductions;
+  *optimal_out = optimal ? 1 : 0;
+  *final_eps_out = eps;
+  return 0;
+}
+
+}  // extern "C"

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..solution import UNASSIGNED
+from .dense import DenseProblem
 from .padded import PaddedProblem
 
 _INT_MAX = jnp.int32(UNASSIGNED)
@@ -45,27 +46,109 @@ _INT_MAX = jnp.int32(UNASSIGNED)
 # ----------------------------------------------------------------------
 def top2_profits(problem: PaddedProblem, prices: jnp.ndarray):
     """Best / second-best profit per person plus the best arc's column and
-    value.  First-occurrence argmax matches the reference's strict `>`
+    value.  First-occurrence selection matches the reference's strict `>`
     update (`ksparse.rs:206-213`) which keeps the earliest maximum.
+
+    TPU note: selection is done with masked reductions over the (small)
+    arc axis rather than argmax + take_along_axis — per-lane dynamic
+    indexing across sublanes is a slow path on TPU, plain max/min
+    reductions are not.  Everything here is int32/value-dtype so the
+    loop body stays free of emulated int64 even under jax_enable_x64.
 
     Returns (best_profit[N], second_profit[N], best_col[N], best_val[N]).
     """
+    if isinstance(problem, DenseProblem):
+        return _top2_profits_dense(problem, prices)
     neg_inf = -jnp.inf
     profit = jnp.where(
         problem.row_mask,
         problem.row_vals - prices[problem.row_cols],
         neg_inf,
     )  # [K, N]
-    best_k = jnp.argmax(profit, axis=0)  # [N] first max
-    best = jnp.take_along_axis(profit, best_k[None, :], axis=0)[0]
+    k = profit.shape[0]
+    best = jnp.max(profit, axis=0)  # [N]
     k_iota = lax.broadcasted_iota(jnp.int32, profit.shape, 0)
-    second = jnp.max(
-        jnp.where(k_iota == best_k[None, :].astype(jnp.int32), neg_inf, profit),
+    is_best = profit == best[None, :]
+    best_k = jnp.min(
+        jnp.where(is_best, k_iota, jnp.int32(k)), axis=0
+    )  # first max
+    sel = k_iota == best_k[None, :]
+    second = jnp.max(jnp.where(sel, neg_inf, profit), axis=0)
+    best_col = jnp.max(jnp.where(sel, problem.row_cols, 0), axis=0)
+    best_val = jnp.max(
+        jnp.where(sel, problem.row_vals, jnp.asarray(neg_inf, profit.dtype)),
         axis=0,
     )
-    best_col = jnp.take_along_axis(problem.row_cols, best_k[None, :], axis=0)[0]
-    best_val = jnp.take_along_axis(problem.row_vals, best_k[None, :], axis=0)[0]
     return best, second, best_col, best_val
+
+
+def _top2_profits_dense(problem: DenseProblem, prices: jnp.ndarray):
+    """Dense variant: profits are a broadcast subtraction, selection is
+    masked reductions — no gathers anywhere."""
+    neg_inf = -jnp.inf
+    vals_t = problem.vals_t  # [M, N]
+    m = vals_t.shape[0]
+    profit = vals_t - prices[:, None]
+    best = jnp.max(profit, axis=0)
+    j_iota = lax.broadcasted_iota(jnp.int32, profit.shape, 0)
+    is_best = profit == best[None, :]
+    best_j = jnp.min(jnp.where(is_best, j_iota, jnp.int32(m)), axis=0)
+    sel = j_iota == best_j[None, :]
+    second = jnp.max(jnp.where(sel, neg_inf, profit), axis=0)
+    best_val = jnp.max(
+        jnp.where(sel, vals_t, jnp.asarray(neg_inf, vals_t.dtype)), axis=0
+    )
+    return best, second, best_j, best_val
+
+
+def _resolve_and_assign_dense(
+    problem: DenseProblem,
+    prices: jnp.ndarray,
+    p2o: jnp.ndarray,
+    o2p: jnp.ndarray,
+    bid: jnp.ndarray,
+    bid_col: jnp.ndarray,
+):
+    """Dense conflict resolution + assignment: ``[M, N]`` broadcast
+    compares and reductions instead of incidence gathers."""
+    neg_inf = -jnp.inf
+    m, n = problem.vals_t.shape
+    shape = (m, n)
+    j_iota = lax.broadcasted_iota(jnp.int32, shape, 0)
+    u_iota = lax.broadcasted_iota(jnp.int32, shape, 1)
+
+    bidding = bid != neg_inf
+    is_here = (bid_col[None, :] == j_iota) & bidding[None, :]
+    eff = jnp.where(is_here, bid[None, :], neg_inf)
+    max_bid = jnp.max(eff, axis=1)  # [M]
+    has_winner = max_bid != neg_inf
+    cand = jnp.where(is_here & (eff >= max_bid[:, None]), u_iota, _INT_MAX)
+    winner = jnp.min(cand, axis=1)  # [M]
+
+    prices_new = jnp.where(has_winner, max_bid.astype(prices.dtype), prices)
+    o2p_new = jnp.where(has_winner, winner, o2p)
+
+    won = jnp.any(is_here & (winner[:, None] == u_iota), axis=0)  # [N]
+    assigned = p2o != UNASSIGNED
+    displaced = assigned & jnp.any(
+        (p2o[None, :] == j_iota) & has_winner[:, None], axis=0
+    )
+    p2o_new = jnp.where(won, bid_col, jnp.where(displaced, _INT_MAX, p2o))
+    return prices_new, p2o_new, o2p_new
+
+
+def _ecs_satisfied_dense(problem, prices, p2o, eps, toleration):
+    neg_inf = -jnp.inf
+    vals_t = problem.vals_t
+    profit = vals_t - prices[:, None]
+    max_profit = jnp.max(profit, axis=0)
+    j_iota = lax.broadcasted_iota(jnp.int32, vals_t.shape, 0)
+    is_chosen = p2o[None, :] == j_iota
+    chosen_profit = jnp.max(
+        jnp.where(is_chosen, profit, jnp.asarray(neg_inf, profit.dtype)),
+        axis=0,
+    )
+    return jnp.all(chosen_profit + toleration >= max_profit - eps)
 
 
 # ----------------------------------------------------------------------
@@ -86,6 +169,8 @@ def resolve_and_assign(
     id on ties); its price becomes the winning bid, the winner is assigned
     and any displaced previous owner becomes unassigned.
     """
+    if isinstance(problem, DenseProblem):
+        return _resolve_and_assign_dense(problem, prices, p2o, o2p, bid, bid_col)
     neg_inf = -jnp.inf
     n = p2o.shape[0]
 
@@ -117,6 +202,15 @@ def resolve_and_assign(
     return prices_new, p2o_new, o2p_new
 
 
+def _price_at_best(problem, prices, best_col, best, best_val):
+    """Price of each person's best object.  Dense path reconstructs it
+    algebraically (profit = value − price ⇒ price = value − profit),
+    avoiding a per-lane gather; sparse path gathers N elements."""
+    if isinstance(problem, DenseProblem):
+        return best_val - best
+    return prices[best_col]
+
+
 # ----------------------------------------------------------------------
 # Device-side ε-CS certificate (reference: solver.rs:154-189)
 # ----------------------------------------------------------------------
@@ -130,6 +224,8 @@ def ecs_satisfied_device(
     """Vectorized ε-complementary-slackness check; only meaningful when the
     assignment is complete (as in the reference call site,
     `symmetric.rs:280-285`)."""
+    if isinstance(problem, DenseProblem):
+        return _ecs_satisfied_dense(problem, prices, p2o, eps, toleration)
     neg_inf = -jnp.inf
     profit = jnp.where(
         problem.row_mask,
@@ -175,7 +271,7 @@ def khosla_solve(
     the reduced-precision (float32) path where ``price + eps`` can round to
     ``price``; at float64 the loop provably terminates without it.
     """
-    dtype = problem.row_vals.dtype
+    dtype = problem.dtype
     n = problem.num_rows
     m = problem.num_cols
     eps = jnp.asarray(eps, dtype)
@@ -200,7 +296,7 @@ def khosla_solve(
         # keep counting
         any_active = jnp.any(active)
         best, second, best_col, best_val = top2_profits(problem, s.prices)
-        price_at_best = s.prices[best_col]
+        price_at_best = _price_at_best(problem, s.prices, best_col, best, best_val)
         drop_now = active & (price_at_best > price_threshold)
         bidder = active & ~drop_now
         has_second = second != -jnp.inf
@@ -256,7 +352,7 @@ def forward_solve(
     (`symmetric.rs:290-324`); infeasible instances are cut off by
     ``max_iterations`` (`symmetric.rs:326-328`).
     """
-    dtype = problem.row_vals.dtype
+    dtype = problem.dtype
     n = problem.num_rows
     m = problem.num_cols
     start_eps = jnp.asarray(start_eps, dtype)
@@ -296,7 +392,7 @@ def forward_solve(
         raw_bid = jnp.where(
             has_second,
             best_val - second + s.eps,
-            s.prices[best_col] + s.eps,
+            _price_at_best(problem, s.prices, best_col, best, best_val) + s.eps,
         )
         bid = jnp.where(unassigned & (best != -jnp.inf), raw_bid, -jnp.inf)
         prices, p2o, o2p = resolve_and_assign(
@@ -304,7 +400,7 @@ def forward_solve(
         )
         # no-op guard for finished instances under vmap
         nits = s.nits + (~s.done).astype(jnp.int32)
-        num_unassigned = jnp.sum(p2o == UNASSIGNED)
+        num_unassigned = jnp.sum(p2o == UNASSIGNED, dtype=jnp.int32)
         fully = (num_unassigned == 0) & ~s.done
 
         def when_full(args):

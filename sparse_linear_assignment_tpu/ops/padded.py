@@ -52,6 +52,10 @@ class PaddedProblem:
         self.col_mask = col_mask
 
     @property
+    def dtype(self):
+        return self.row_vals.dtype
+
+    @property
     def num_rows(self) -> int:
         return self.row_cols.shape[1]
 
