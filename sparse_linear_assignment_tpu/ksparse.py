@@ -30,7 +30,10 @@ from typing import Optional
 
 import numpy as np
 
+import numpy as _np
+
 from .ops.auction import khosla_solve
+from .ops.compact import khosla_solve_compact, khosla_solve_scaled
 from .ops.padded import build_padded_problem
 from .solution import AuctionSolution
 from .solver import AuctionSolver
@@ -49,18 +52,31 @@ class KhoslaSolver(AuctionSolver):
         #: unassigned person at once, so rounds are the natural analogue.
         self.nits: int = 0
 
+    #: above this many rows, solve() uses the compacted host-driven
+    #: engine (identical semantics, round cost scales with active set)
+    COMPACT_THRESHOLD = 8192
+
     def solve(
         self,
         solution: AuctionSolution,
         maximize: bool = False,
         eps: Optional[float] = None,
         max_rounds: int = 10_000_000,
+        scale_eps: bool = False,
+        compact: Optional[bool] = None,
     ) -> None:
         """Solve the current problem instance (`ksparse.rs:153-251`).
 
         ``eps`` defaults to ``1 / num_cols`` (`ksparse.rs:164-168`).
-        ``max_rounds`` is an extension: a safety cutoff for the float32
-        fast path (the float64 path terminates on its own).
+        Extensions over the reference:
+
+        - ``max_rounds`` — safety cutoff for the float32 fast path (the
+          float64 path terminates on its own).
+        - ``scale_eps`` — run an ε-scaling ladder down to ``eps``
+          (same final ε-optimality certificate, orders of magnitude
+          fewer bids on large instances; see ops/compact.py).
+        - ``compact`` — use the active-set-compacted engine (auto:
+          enabled for instances above ``COMPACT_THRESHOLD`` rows).
         """
         self.validate_input()
         self.init_solve(solution, maximize)
@@ -83,9 +99,30 @@ class KhoslaSolver(AuctionSolver):
             values,
             dtype=self.dtype,
         )
-        prices, p2o, o2p, num_unassigned, nits = khosla_solve(
-            problem, eps, price_threshold, max_rounds=max_rounds
-        )
+        if compact is None:
+            compact = self.num_rows > self.COMPACT_THRESHOLD or scale_eps
+
+        if scale_eps:
+            state, nits = khosla_solve_scaled(
+                problem, eps, w_min, w_max, max_rounds=max_rounds
+            )
+            prices, p2o, o2p = state.prices, state.p2o, state.o2p
+            num_unassigned = int(
+                (_np.asarray(p2o) == _np.iinfo(_np.int32).max).sum()
+            )
+        elif compact:
+            state = khosla_solve_compact(
+                problem, eps, price_threshold, max_rounds=max_rounds
+            )
+            prices, p2o, o2p = state.prices, state.p2o, state.o2p
+            nits = int(state.nits)
+            num_unassigned = int(
+                (_np.asarray(p2o) == _np.iinfo(_np.int32).max).sum()
+            )
+        else:
+            prices, p2o, o2p, num_unassigned, nits = khosla_solve(
+                problem, eps, price_threshold, max_rounds=max_rounds
+            )
         self.prices = np.asarray(prices, dtype=np.float64)
         solution.person_to_object = np.asarray(p2o)
         solution.object_to_person = np.asarray(o2p)

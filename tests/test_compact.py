@@ -1,0 +1,92 @@
+"""Compacted / ε-scaled Khosla engines must match the plain engine's
+solution-quality contract (same choice/update/drop rules)."""
+
+import numpy as np
+import pytest
+from scipy.optimize import linear_sum_assignment
+
+from sparse_linear_assignment_tpu import KhoslaSolver, UNASSIGNED
+from sparse_linear_assignment_tpu.generators import (
+    dense_cost_matrix,
+    gen_ksparse_uniform,
+    gen_symmetric_input,
+)
+
+
+def oracle(solver):
+    mat = dense_cost_matrix(solver, big=1e9)
+    if solver.values.size and solver.values[0] < 0:
+        mat = np.where(np.abs(mat) < 1e9, -mat, mat)
+    r, c = linear_sum_assignment(mat)
+    return float(mat[r, c].sum())
+
+
+@pytest.mark.parametrize("mode", ["compact", "scaled"])
+@pytest.mark.parametrize("seed", [1, 2])
+def test_compact_matches_plain_symmetric(mode, seed):
+    n = 60
+    solver, solution = KhoslaSolver.new(n, n, n * n)
+    gen_symmetric_input(solver, seed, n, 0.15, 1.0, 10.0)
+    kwargs = (
+        {"compact": True} if mode == "compact" else {"scale_eps": True}
+    )
+    solver.solve(solution, False, **kwargs)
+    assert solution.num_unassigned == 0
+    got = solver.get_objective(solution)
+    want = oracle(solver)
+    assert want - 1e-9 <= got <= want + n * solution.eps + 1e-9
+    # matching consistency
+    p2o = np.asarray(solution.person_to_object)
+    for i, j in enumerate(p2o):
+        assert solution.object_to_person[j] == i
+
+
+@pytest.mark.parametrize("mode", ["compact", "scaled"])
+def test_compact_asymmetric_ksparse(mode):
+    num_rows, num_cols, k = 80, 500, 12
+    solver, solution = KhoslaSolver.new(num_rows, num_cols, num_rows * k)
+    gen_ksparse_uniform(solver, 3, num_rows, num_cols, k, 10.0)
+    kwargs = (
+        {"compact": True} if mode == "compact" else {"scale_eps": True}
+    )
+    solver.solve(solution, False, **kwargs)
+    assert solution.num_unassigned == 0
+    got = solver.get_objective(solution)
+    want = oracle(solver)
+    assert want - 1e-9 <= got <= want + num_rows * solution.eps + 1e-9
+
+
+@pytest.mark.parametrize("mode", ["compact", "scaled"])
+def test_compact_infeasible_terminates(mode):
+    solver, solution = KhoslaSolver.new(2, 2, 2)
+    solver.init(2, 2)
+    solver.add_value(0, 0, 1.0)
+    solver.add_value(1, 0, 2.0)
+    kwargs = (
+        {"compact": True} if mode == "compact" else {"scale_eps": True}
+    )
+    solver.solve(solution, False, **kwargs)
+    assert solution.num_unassigned == 1
+
+
+def test_compact_fixed_case_exact():
+    costs = [
+        [1000, 2, 11, 10, 8, 7, 6, 5],
+        [6, 1000, 1, 8, 8, 4, 6, 7],
+        [5, 12, 1000, 11, 8, 12, 3, 11],
+        [11, 9, 10, 1000, 1, 9, 8, 10],
+        [11, 11, 9, 4, 1000, 2, 10, 9],
+        [12, 8, 5, 2, 11, 1000, 11, 9],
+        [10, 11, 12, 10, 9, 12, 1000, 3],
+        [10, 10, 10, 10, 6, 3, 1, 1000],
+    ]
+    for kwargs in ({"compact": True}, {"scale_eps": True}):
+        solver, solution = KhoslaSolver.new(8, 8, 64)
+        solver.init(8, 8)
+        for i, row in enumerate(costs):
+            solver.extend_from_values(
+                i, list(range(8)), [float(v) for v in row]
+            )
+        solver.solve(solution, False, **kwargs)
+        assert solution.num_unassigned == 0
+        assert solver.get_objective(solution) == 17.0
