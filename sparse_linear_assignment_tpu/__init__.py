@@ -35,6 +35,22 @@ import jax
 if not os.environ.get("SLAP_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the TPU backend in this environment takes
+# minutes per cold compile of the solver loops; cache them across
+# processes (override location with JAX_COMPILATION_CACHE_DIR, disable
+# with SLAP_TPU_NO_COMPILE_CACHE).
+if not os.environ.get("SLAP_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (OSError, AttributeError):  # pragma: no cover
+        pass
+
 from .solution import INDEX_DTYPE, UNASSIGNED, AuctionSolution  # noqa: E402
 from .solver import AuctionSolver  # noqa: E402
 from .ksparse import KhoslaSolver  # noqa: E402

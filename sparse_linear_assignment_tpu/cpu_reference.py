@@ -53,6 +53,12 @@ def get_lib() -> ctypes.CDLL:
         i64, i64, p_i64, p_i32, p_f64, ctypes.c_double,
         p_i32, p_i32, p_f64, ctypes.POINTER(i64),
     ]
+    p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.slap_khosla_finish.restype = ctypes.c_int
+    lib.slap_khosla_finish.argtypes = [
+        i64, i64, p_i64, p_i32, p_f64, ctypes.c_double, ctypes.c_double,
+        p_i32, p_i32, p_f64, p_u8, ctypes.POINTER(i64),
+    ]
     lib.slap_forward_solve.restype = ctypes.c_int
     lib.slap_forward_solve.argtypes = [
         i64, i64, p_i64, p_i32, p_f64,
@@ -109,6 +115,40 @@ def khosla_solve_cpu(
     )
     assert rc == 0
     return _finish(solver, solution, p2o, o2p, prices), int(nits.value)
+
+
+def khosla_finish_cpu(
+    n_rows: int,
+    n_cols: int,
+    starts: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    eps: float,
+    threshold: float,
+    p2o: np.ndarray,
+    o2p: np.ndarray,
+    prices: np.ndarray,
+    dropped: np.ndarray,
+) -> int:
+    """Finish an auction phase sequentially from a warm state (in place).
+
+    ``p2o``/``o2p`` use -1 for unassigned; arrays are modified in place.
+    Used as the chain-tail engine of the hybrid TPU+CPU solve: TPU runs
+    the massively parallel bulk rounds, this finishes the sequential
+    displacement chains at native speed.  Returns the number of pops.
+    """
+    lib = get_lib()
+    nits = ctypes.c_int64(0)
+    rc = lib.slap_khosla_finish(
+        n_rows, n_cols,
+        np.ascontiguousarray(starts, dtype=np.int64),
+        np.ascontiguousarray(cols, dtype=np.int32),
+        np.ascontiguousarray(vals, dtype=np.float64),
+        float(eps), float(threshold),
+        p2o, o2p, prices, dropped, ctypes.byref(nits),
+    )
+    assert rc == 0
+    return int(nits.value)
 
 
 def forward_solve_cpu(

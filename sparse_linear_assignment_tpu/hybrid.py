@@ -1,0 +1,130 @@
+"""Heterogeneous TPU + native-CPU auction solve.
+
+Auction solves have two regimes with opposite hardware affinities:
+
+- **Bulk rounds**: thousands of unassigned persons bid simultaneously —
+  embarrassingly parallel, ideal for the TPU's vector units (one Jacobi
+  round assigns the vast majority of persons).
+- **Chain tails**: the endgame is a displacement chain — person A takes
+  B's object, B takes C's, ... — strictly sequential steps of a few
+  hundred nanoseconds each.  No accelerator wins here; the native C++
+  engine steps chains at tens of millions of pops per second while a
+  dispatch round-trip to any accelerator costs more than a whole chain.
+
+This driver runs each ε-scaling phase's bulk on the TPU (slot-list
+rounds, `ops/compact.py`) and hands the warm state (prices + partial
+assignment) to the native engine (`native/engine.cpp:slap_khosla_finish`)
+to finish the phase's chains.  Both engines implement the exact same
+choice/update/drop rules (`ksparse.rs:199-227,218-220`), so the final
+matching carries the same ε-optimality certificate as the pure solvers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .cpu_reference import khosla_finish_cpu
+from .ops.compact import LState, khosla_run_chunk, repack_slots
+from .ops.padded import PaddedProblem
+from .solution import UNASSIGNED
+
+_INT_MAX = np.int32(UNASSIGNED)
+
+
+def khosla_solve_hybrid(
+    num_rows: int,
+    num_cols: int,
+    csr_starts: np.ndarray,
+    csr_cols: np.ndarray,
+    csr_vals: np.ndarray,
+    problem: PaddedProblem,
+    eps_target: float,
+    w_min: float,
+    w_max: float,
+    scale: bool = True,
+    reduction_factor: float = 0.125,
+    tail_threshold: int = 4096,
+    chunk: int = 8,
+):
+    """Solve with TPU bulk rounds + native chain tails.
+
+    Returns ``(prices_f64, p2o, o2p, dropped, tpu_rounds, cpu_pops)``
+    with the package's ``UNASSIGNED`` sentinel in the assignment arrays.
+    """
+    n, m = num_rows, num_cols
+    span = w_max - w_min
+    dtype = problem.dtype
+
+    # ε ladder (symmetric instances only — see ops/compact.py rationale)
+    if scale and n == m:
+        eps = max(span / 4.0, eps_target)
+    else:
+        eps = eps_target
+    ladder = []
+    while eps > eps_target:
+        ladder.append(eps)
+        eps *= reduction_factor
+    ladder.append(eps_target)
+
+    # host-side state in the native engine's convention (-1 = unassigned)
+    prices64 = np.zeros(m, dtype=np.float64)
+    p2o = np.full(n, -1, dtype=np.int32)
+    o2p = np.full(m, -1, dtype=np.int32)
+    dropped = np.zeros(n, dtype=np.uint8)
+
+    tpu_rounds = 0
+    cpu_pops = 0
+    np_dtype = np.dtype(dtype)
+
+    for phase_i, phase_eps in enumerate(ladder):
+        threshold = (m / 2.0) * (span + phase_eps)
+        if phase_i > 0:
+            # new phase: keep prices, reset assignments (symmetric.rs:290-324)
+            p2o.fill(-1)
+            o2p.fill(-1)
+            dropped.fill(0)
+
+        unassigned = int((p2o < 0).sum())
+        if unassigned > tail_threshold:
+            # ---- TPU bulk rounds ----
+            state = LState(
+                prices=jnp.asarray(prices64.astype(np_dtype)),
+                p2o=jnp.asarray(np.where(p2o < 0, _INT_MAX, p2o)),
+                o2p=jnp.asarray(np.where(o2p < 0, _INT_MAX, o2p)),
+                dropped=jnp.asarray(dropped.astype(bool)),
+                slots=jnp.arange(n, dtype=jnp.int32),
+                nits=jnp.zeros((), jnp.int32),
+            )
+            if p2o.max() >= 0:  # warm assignment: rebuild the slot list
+                state = repack_slots(state, n)
+            active = unassigned
+            eps_s = np_dtype.type(phase_eps)
+            thr_s = np_dtype.type(threshold)
+            while active > tail_threshold:
+                prev = active
+                state, active_dev = khosla_run_chunk(
+                    problem, state, eps_s, thr_s, chunk
+                )
+                active = int(active_dev)
+                if active >= prev:
+                    break  # bulk no longer progressing; hand to the tail
+            tpu_rounds += int(state.nits)
+            prices64 = np.asarray(state.prices, dtype=np.float64)
+            p2o = np.asarray(state.p2o).astype(np.int32)
+            o2p = np.asarray(state.o2p).astype(np.int32)
+            p2o = np.where(p2o == _INT_MAX, -1, p2o)
+            o2p = np.where(o2p == _INT_MAX, -1, o2p)
+            dropped = np.asarray(state.dropped).astype(np.uint8)
+
+        # ---- native chain tail (exact sequential finish of the phase) ----
+        cpu_pops += khosla_finish_cpu(
+            n, m, csr_starts, csr_cols, csr_vals,
+            phase_eps, threshold, p2o, o2p, prices64, dropped,
+        )
+
+    p2o_out = np.where(p2o < 0, _INT_MAX, p2o).astype(np.int32)
+    o2p_out = np.where(o2p < 0, _INT_MAX, o2p).astype(np.int32)
+    return prices64, p2o_out, o2p_out, dropped, tpu_rounds, cpu_pops

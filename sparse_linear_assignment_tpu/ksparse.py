@@ -64,6 +64,7 @@ class KhoslaSolver(AuctionSolver):
         max_rounds: int = 10_000_000,
         scale_eps: bool = False,
         compact: Optional[bool] = None,
+        hybrid: bool = False,
     ) -> None:
         """Solve the current problem instance (`ksparse.rs:153-251`).
 
@@ -77,6 +78,9 @@ class KhoslaSolver(AuctionSolver):
           fewer bids on large instances; see ops/compact.py).
         - ``compact`` — use the active-set-compacted engine (auto:
           enabled for instances above ``COMPACT_THRESHOLD`` rows).
+        - ``hybrid`` — heterogeneous performance mode: TPU bulk rounds +
+          native C++ chain tails (see hybrid.py); combine with
+          ``scale_eps=True`` for large symmetric instances.
         """
         self.validate_input()
         self.init_solve(solution, maximize)
@@ -102,6 +106,27 @@ class KhoslaSolver(AuctionSolver):
         if compact is None:
             compact = self.num_rows > self.COMPACT_THRESHOLD or scale_eps
 
+        if hybrid:
+            from .hybrid import khosla_solve_hybrid
+
+            counts = self.j_counts.astype(np.int64)
+            starts = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            prices, p2o, o2p, dropped, tpu_rounds, cpu_pops = (
+                khosla_solve_hybrid(
+                    self.num_rows, self.num_cols, starts,
+                    self.column_indices, values, problem,
+                    eps, w_min, w_max, scale=scale_eps,
+                )
+            )
+            self.prices = prices
+            solution.person_to_object = p2o
+            solution.object_to_person = o2p
+            solution.num_unassigned = int(
+                (p2o == _np.iinfo(_np.int32).max).sum()
+            )
+            self.nits = int(tpu_rounds + cpu_pops)
+            return
         if scale_eps:
             state, nits = khosla_solve_scaled(
                 problem, eps, w_min, w_max, max_rounds=max_rounds

@@ -74,6 +74,51 @@ bool ecs_holds(int64_t n_rows, const int64_t* starts, const int32_t* cols,
 
 extern "C" {
 
+// Sequential Khosla auction from a warm state: prices / p2o / o2p /
+// dropped arrive pre-populated (e.g. from the TPU bulk phases) and only
+// the remaining unassigned, undropped people are auctioned.  The price
+// threshold is passed explicitly so ε-scaling ladders can phase it.
+int slap_khosla_finish(int64_t n_rows, int64_t n_cols, const int64_t* starts,
+                       const int32_t* cols, const double* vals, double eps,
+                       double threshold, int32_t* p2o, int32_t* o2p,
+                       double* prices, uint8_t* dropped, int64_t* nits_out) {
+  std::vector<int32_t> stack;
+  stack.reserve(n_rows);
+  for (int64_t i = n_rows - 1; i >= 0; --i) {
+    if (p2o[i] < 0 && !dropped[i]) stack.push_back(static_cast<int32_t>(i));
+  }
+
+  int64_t nits = 0;
+  while (!stack.empty()) {
+    const int32_t u = stack.back();
+    stack.pop_back();
+    ++nits;
+
+    const Choice c = scan_row(starts, cols, vals, prices, u);
+    const int32_t v = c.best_col;
+    if (prices[v] > threshold) {
+      dropped[u] = 1;  // drop rule: u stays unassigned
+      continue;
+    }
+
+    if (std::isfinite(c.second_profit)) {
+      prices[v] = c.best_value - c.second_profit + eps;
+    } else {
+      prices[v] += eps;
+    }
+
+    const int32_t displaced = o2p[v];
+    if (displaced >= 0) {
+      p2o[displaced] = -1;
+      stack.push_back(displaced);
+    }
+    p2o[u] = v;
+    o2p[v] = u;
+  }
+  *nits_out = nits;
+  return 0;
+}
+
 // Sequential Khosla auction.  Returns 0 on success.
 int slap_khosla_solve(int64_t n_rows, int64_t n_cols, const int64_t* starts,
                       const int32_t* cols, const double* vals, double eps,

@@ -1,28 +1,31 @@
-"""Compacted sparse auction rounds — round cost scales with active bidders.
+"""Slot-list auction rounds — endgame cost independent of problem size.
 
 The synchronous Jacobi round in ``ops/auction.py`` touches every person
-and every object each round.  That is right for the first few rounds
-(massive parallelism: most persons get assigned), but auction endgames
-are long displacement chains with a handful of active bidders — paying
-O(N + Kc·M) of gather traffic per round for 10 bidders is how a TPU
-loses to a sequential CPU.
+and object each round.  Auction endgames, however, are displacement
+chains: one or two active bidders walk the graph while everyone else is
+settled, so per-round work must scale with the *active set*, not with N.
 
-This module's round costs O(K·P) where P is a static compaction size:
+The key structural fact: **the active set is closed under the auction
+dynamics**.  A round can only activate the previous owner of an object
+that was just won — and that owner takes exactly the winner's place.  So
+the active set is carried *in the loop state* as a fixed-size slot list:
 
-1. **Compact**: indices of the ≤P active persons via fixed-size nonzero.
-2. **Bid**: gather just those persons' padded arc rows ``[K, P]``, top-2
-   profit by masked reductions (same choice rule as the full round).
-3. **Resolve by scatter**: ``prices.at[obj].max(bid)`` (P updates — far
-   cheaper than the object-major gather when P ≪ M), then winner
-   recovery with a min-scatter of person ids over bid-winning slots
-   (deterministic smallest-person tie-break, matching the full round).
-4. **Assign by scatter**: ≤P-element updates of p2o/o2p/dropped.
+- slot i holds an unassigned person id (or EMPTY = INT32_MAX),
+- when slot i's person wins object v, the slot becomes v's previous
+  owner (which is EMPTY precisely when v was free — the sentinel
+  coincides),
+- losers keep their slot; persons dropped by the price threshold leave.
 
-A host-driven driver (`khosla_solve_compact`) runs jitted chunks of
-rounds, switching between compiled compaction levels as the active
-count decays, with an optional ε-scaling ladder (an extension over the
-reference: same final ε-optimality certificate as `ksparse.rs:153-251`
-at eps = 1/num_cols, far fewer total bids on large instances).
+No per-round compaction, no prefix sums, no O(N) scans: a round costs
+O(K·P) gathers plus P-element scatters.  The number of occupied slots
+never grows, so a host-driven driver re-packs the list into smaller
+compiled levels as the auction drains, down to tiny chain-mode programs.
+
+Conflict resolution uses P-element scatter-max on prices with a
+deterministic smallest-person tie-break (same rule as the full Jacobi
+round in ``ops/auction.py``); the reference semantics (choice rule
+`ksparse.rs:199-214`, update rule `ksparse.rs:223-227`, drop rule
+`ksparse.rs:218-220`) are unchanged.
 """
 
 from __future__ import annotations
@@ -37,39 +40,37 @@ from jax import lax
 
 from ..solution import UNASSIGNED
 from .padded import PaddedProblem
+from .prefix import compact_indices
 
 _INT_MAX = jnp.int32(UNASSIGNED)
 
 
-class CState(NamedTuple):
+class LState(NamedTuple):
     prices: jnp.ndarray  # [M]
     p2o: jnp.ndarray  # [N]
     o2p: jnp.ndarray  # [M]
     dropped: jnp.ndarray  # [N]
+    slots: jnp.ndarray  # [P] active person ids, EMPTY = INT32_MAX
     nits: jnp.ndarray  # ()
 
 
-def _compact_round(
-    s: CState, ids, rows_c, vals_c, arc_mask_c, eps, threshold
-):
-    """One auction round over a fixed compacted slot set.
-
-    ``ids[P]`` are person ids chosen at chunk start; ``rows_c/vals_c/
-    arc_mask_c [K, P]`` their pre-gathered padded arc rows.  Slot
-    activity is re-derived from the current state each round, so persons
-    assigned earlier in the chunk stop bidding and persons displaced
-    within the chunk (if they are in the slot set) resume bidding;
-    displaced persons outside the set wait until the next compaction —
-    the auction tolerates arbitrary bidding schedules.
-    """
+def _slot_round(problem: PaddedProblem, s: LState, eps, threshold):
+    """One auction round over the occupied slots."""
     neg_inf = -jnp.inf
     n = s.p2o.shape[0]
     m = s.prices.shape[0]
+    ids = s.slots
+    occupied = ids != _INT_MAX
+    any_active = jnp.any(occupied)
+    safe_ids = jnp.where(occupied, ids, 0)
 
-    slot_active = (s.p2o[ids] == UNASSIGNED) & ~s.dropped[ids]
-    any_active = jnp.any(slot_active)
-    mask_c = arc_mask_c & slot_active[None, :]
+    # leading-axis row gathers (`x_t[ids]`): the fast, compile-friendly
+    # gather on this backend (`x[:, ids]` is a compile bomb, see padded.py)
+    rows_c = problem.row_cols_t[safe_ids].T  # [K, P]
+    vals_c = problem.row_vals_t[safe_ids].T
+    mask_c = problem.row_mask_t[safe_ids].T & occupied[None, :]
 
+    # choice rule: top-2 profit by masked reductions (ksparse.rs:199-214)
     profit = jnp.where(mask_c, vals_c - s.prices[rows_c], neg_inf)
     k = profit.shape[0]
     best = jnp.max(profit, axis=0)
@@ -85,139 +86,144 @@ def _compact_round(
     )
 
     price_at_best = s.prices[best_col]  # [P]
-    bidder0 = slot_active & (best != neg_inf)
+    bidder0 = occupied & (best != neg_inf)
+    # drop rule (ksparse.rs:218-220): finite termination for infeasible
     drop_now = bidder0 & (price_at_best > threshold)
     bidder = bidder0 & ~drop_now
     has_second = second != neg_inf
+    # update rule (ksparse.rs:223-227)
     raw_bid = jnp.where(
         has_second, best_val - second + eps, price_at_best + eps
     )
     bid = jnp.where(bidder, raw_bid, neg_inf)
 
-    # conflict by scatter: winning bid becomes the price (bids >= price+eps)
+    # conflict by scatter-max: winning bid becomes the price
     obj = jnp.where(bidder, best_col, 0)
     prices_new = s.prices.at[obj].max(bid.astype(s.prices.dtype))
     won_bid = bidder & (bid == prices_new[obj])
     # deterministic winner among equal bids: smallest person id
     cand = jnp.where(won_bid, ids, _INT_MAX)
-    scat_obj = jnp.where(won_bid, obj, m)  # losers scatter off the end
-    winner_ext = jnp.full(m + 1, _INT_MAX).at[scat_obj].min(cand)
-    winner = winner_ext[:m]
+    scat_obj = jnp.where(won_bid, obj, m)
+    winner = jnp.full(m + 1, _INT_MAX).at[scat_obj].min(cand)[:m]
     has_w = winner != _INT_MAX
 
     win = won_bid & (winner[obj] == ids)
-    prev = s.o2p[obj]  # [P] previous owner of the object bid on
+    prev = s.o2p[obj]  # previous owner of the object bid on (or EMPTY)
 
     o2p_new = jnp.where(has_w, winner, s.o2p)
-    # displaced previous owners become unassigned (duplicates benign)
+    # winner's slot inherits the displaced owner; EMPTY when v was free
+    slots_new = jnp.where(
+        win, prev, jnp.where(drop_now, _INT_MAX, ids)
+    )
+
     disp = win & (prev != _INT_MAX)
     p2o_ext = (
         jnp.concatenate([s.p2o, jnp.zeros(1, s.p2o.dtype)])
         .at[jnp.where(disp, prev, n)]
         .set(_INT_MAX)
-        .at[jnp.where(win, ids, n)]
+        .at[jnp.where(win, safe_ids, n)]
         .set(jnp.where(win, obj, 0))
     )
     p2o_new = p2o_ext[:n]
     dropped_new = (
         jnp.concatenate([s.dropped, jnp.zeros(1, bool)])
-        .at[jnp.where(drop_now, ids, n)]
+        .at[jnp.where(drop_now, safe_ids, n)]
         .set(True)[:n]
     )
-    return CState(
+    return LState(
         prices=prices_new,
         p2o=p2o_new,
         o2p=o2p_new,
         dropped=dropped_new,
+        slots=slots_new,
         nits=s.nits + any_active.astype(jnp.int32),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("p", "chunk"))
-def khosla_run_chunk(
-    problem: PaddedProblem, state: CState, eps, threshold, p: int, chunk: int
-):
-    """Compact the active set once (fixed-size nonzero + one [K, P] row
-    gather), then run ``chunk`` rounds over those slots.  Returns the new
-    state and the remaining active count."""
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def khosla_run_chunk(problem: PaddedProblem, state: LState, eps, threshold,
+                     chunk: int):
+    """Run ``chunk`` slot-list rounds; returns (state, occupied count)."""
     dtype = problem.dtype
     eps = jnp.asarray(eps, dtype)
     threshold = jnp.asarray(threshold, dtype)
 
-    active = (state.p2o == UNASSIGNED) & ~state.dropped
-    (ids,) = jnp.nonzero(active, size=p, fill_value=0)
-    ids = ids.astype(jnp.int32)
-    count = jnp.sum(active, dtype=jnp.int32)
-    slot_valid = (
-        lax.broadcasted_iota(jnp.int32, (p,), 0) < jnp.minimum(count, p)
-    )
-    rows_c = problem.row_cols[:, ids]  # [K, P]
-    vals_c = problem.row_vals[:, ids]
-    arc_mask_c = problem.row_mask[:, ids] & slot_valid[None, :]
-
     def body(s, _):
-        return (
-            _compact_round(s, ids, rows_c, vals_c, arc_mask_c, eps, threshold),
-            None,
-        )
+        return _slot_round(problem, s, eps, threshold), None
 
     state, _ = lax.scan(body, state, None, length=chunk)
-    active_out = jnp.sum(
-        (state.p2o == UNASSIGNED) & ~state.dropped, dtype=jnp.int32
-    )
-    return state, active_out
+    return state, jnp.sum(state.slots != _INT_MAX, dtype=jnp.int32)
 
 
-def _levels_for(n: int, base: int = 256):
-    """Compaction sizes: powers of 8 from ``base`` up to ``n``."""
+@functools.partial(jax.jit, static_argnames=("p_new",))
+def repack_slots(state: LState, p_new: int):
+    """Re-pack the (sparse) slot list into ``p_new`` slots using the
+    MXU-native compaction; occupied count must be ≤ ``p_new``."""
+    mask = (state.p2o == UNASSIGNED) & ~state.dropped
+    ids, count = compact_indices(mask, p_new)
+    iota = lax.broadcasted_iota(jnp.int32, (p_new,), 0)
+    slots = jnp.where(iota < count, ids, _INT_MAX)
+    return state._replace(slots=slots)
+
+
+def _levels_for(n: int, base: int = 8):
+    """Slot-list sizes: powers of 8 from ``base`` up to n, largest first."""
     levels = []
     p = base
     while p < n:
         levels.append(p)
         p *= 8
     levels.append(n)
-    return levels[::-1]  # largest first
+    return levels[::-1]
 
 
 def khosla_solve_compact(
     problem: PaddedProblem,
     eps: float,
     price_threshold: float,
-    init_state: Optional[CState] = None,
+    init_state: Optional[LState] = None,
     chunk: int = 64,
     max_rounds: int = 10_000_000,
 ):
-    """Host-driven Khosla solve with adaptive compaction levels.
+    """Host-driven Khosla solve over shrinking slot-list levels.
 
     Semantics identical to ``khosla_solve`` (same choice/update/drop
-    rules, deterministic tie-breaks); the host only picks which compiled
-    level to run next based on the active count, so there is one small
-    host sync per ``chunk`` rounds.
+    rules, deterministic tie-breaks); the host only decides when to
+    re-pack the slot list into a smaller compiled level, one small sync
+    per ``chunk`` rounds.
     """
     n = problem.num_rows
     m = problem.num_cols
     dtype = problem.dtype
+    np_dtype = np.dtype(dtype)
+    eps = np_dtype.type(eps)
+    price_threshold = np_dtype.type(price_threshold)
+
+    levels = _levels_for(n)
     if init_state is None:
-        state = CState(
+        state = LState(
             prices=jnp.zeros(m, dtype),
             p2o=jnp.full(n, _INT_MAX, jnp.int32),
             o2p=jnp.full(m, _INT_MAX, jnp.int32),
             dropped=jnp.zeros(n, bool),
+            slots=jnp.arange(n, dtype=jnp.int32),  # everyone active
             nits=jnp.zeros((), jnp.int32),
         )
     else:
         state = init_state
 
-    levels = _levels_for(n)
-    active = n
+    p = state.slots.shape[0]
+    active = int(jnp.sum(state.slots != _INT_MAX))
     while active > 0 and int(state.nits) < max_rounds:
-        # smallest level that covers the current active set
-        p = next(l for l in reversed(levels) if l >= active)
-        # big levels drain fast — use short chunks so we drop to a
-        # cheaper level quickly; small levels amortize host syncs
-        level_chunk = 8 if p >= levels[0] else chunk
+        target_p = next(l for l in reversed(levels) if l >= active)
+        if target_p < p:
+            state = repack_slots(state, target_p)
+            p = target_p
+        # large levels drain in a handful of rounds; small levels run
+        # long chains and amortize host syncs over bigger chunks
+        level_chunk = 8 if p >= 4096 else chunk
         state, active_dev = khosla_run_chunk(
-            problem, state, eps, price_threshold, p, level_chunk
+            problem, state, eps, price_threshold, level_chunk
         )
         active = int(active_dev)
     return state
@@ -233,7 +239,7 @@ def khosla_solve_scaled(
     chunk: int = 64,
     max_rounds: int = 10_000_000,
 ):
-    """ε-scaling ladder around the compacted Khosla solve (extension).
+    """ε-scaling ladder around the slot-list Khosla solve (extension).
 
     Starts at ``(w_max − w_min)/4`` and reduces ε geometrically to
     ``eps_target``, resetting assignments but keeping prices between
@@ -269,15 +275,16 @@ def khosla_solve_scaled(
 
     state = None
     total_rounds = 0
-    for i, phase_eps in enumerate(ladder):
+    for phase_eps in ladder:
         threshold = (m / 2.0) * (span + phase_eps)
         if state is not None:
             # keep prices, reset assignments (fresh phase at lower eps)
-            state = CState(
+            state = LState(
                 prices=state.prices,
                 p2o=jnp.full(n, _INT_MAX, jnp.int32),
                 o2p=jnp.full(m, _INT_MAX, jnp.int32),
                 dropped=jnp.zeros(n, bool),
+                slots=jnp.arange(n, dtype=jnp.int32),
                 nits=jnp.zeros((), jnp.int32),
             )
         state = khosla_solve_compact(

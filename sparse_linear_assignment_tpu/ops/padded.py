@@ -42,14 +42,24 @@ class PaddedProblem:
     row_mask : bool[K, N]    validity of the arc slot
     col_persons : int32[Kc, M]  person indices incident to object j (pad: 0)
     col_mask : bool[Kc, M]
+    row_cols_t / row_vals_t / row_mask_t : [N, K] transposes of the
+        person-major arrays.  Compacted rounds gather whole person rows;
+        a leading-axis (embedding-style) gather ``x_t[ids]`` is the fast,
+        compile-friendly path on this TPU backend, while the equivalent
+        lane-axis gather ``x[:, ids]`` sends its compiler into
+        multi-minute blowups.
     """
 
-    def __init__(self, row_cols, row_vals, row_mask, col_persons, col_mask):
+    def __init__(self, row_cols, row_vals, row_mask, col_persons, col_mask,
+                 row_cols_t=None, row_vals_t=None, row_mask_t=None):
         self.row_cols = row_cols
         self.row_vals = row_vals
         self.row_mask = row_mask
         self.col_persons = col_persons
         self.col_mask = col_mask
+        self.row_cols_t = row_cols_t
+        self.row_vals_t = row_vals_t
+        self.row_mask_t = row_mask_t
 
     @property
     def dtype(self):
@@ -70,6 +80,9 @@ class PaddedProblem:
             self.row_mask,
             self.col_persons,
             self.col_mask,
+            self.row_cols_t,
+            self.row_vals_t,
+            self.row_mask_t,
         )
         return children, None
 
@@ -132,10 +145,17 @@ def build_padded_problem(
     col_persons[pos_in_col, col_sorted] = person_sorted
     col_mask[pos_in_col, col_sorted] = True
 
-    return PaddedProblem(
+    problem = PaddedProblem(
         row_cols=row_cols,
         row_vals=row_vals,
         row_mask=row_mask,
         col_persons=col_persons,
         col_mask=col_mask,
+        row_cols_t=np.ascontiguousarray(row_cols.T),
+        row_vals_t=np.ascontiguousarray(row_vals.T),
+        row_mask_t=np.ascontiguousarray(row_mask.T),
     )
+    # ship to the device once — host-driven solve loops dispatch many
+    # small programs against these arrays, and leaving them as NumPy
+    # would re-transfer the whole problem on every dispatch
+    return jax.tree_util.tree_map(jnp.asarray, problem)

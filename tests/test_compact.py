@@ -90,3 +90,39 @@ def test_compact_fixed_case_exact():
         solver.solve(solution, False, **kwargs)
         assert solution.num_unassigned == 0
         assert solver.get_objective(solution) == 17.0
+
+
+@pytest.mark.parametrize("scale", [False, True])
+@pytest.mark.parametrize("seed", [1, 2])
+def test_hybrid_matches_oracle(scale, seed):
+    n = 60
+    solver, solution = KhoslaSolver.new(n, n, n * n)
+    gen_symmetric_input(solver, seed, n, 0.15, 1.0, 10.0)
+    solver.solve(solution, False, scale_eps=scale, hybrid=True)
+    assert solution.num_unassigned == 0
+    got = solver.get_objective(solution)
+    want = oracle(solver)
+    assert want - 1e-9 <= got <= want + n * solution.eps + 1e-9
+    p2o = np.asarray(solution.person_to_object)
+    for i, j in enumerate(p2o):
+        assert solution.object_to_person[j] == i
+
+
+def test_hybrid_asymmetric():
+    num_rows, num_cols, k = 80, 500, 12
+    solver, solution = KhoslaSolver.new(num_rows, num_cols, num_rows * k)
+    gen_ksparse_uniform(solver, 3, num_rows, num_cols, k, 10.0)
+    solver.solve(solution, False, scale_eps=True, hybrid=True)
+    assert solution.num_unassigned == 0
+    got = solver.get_objective(solution)
+    want = oracle(solver)
+    assert want - 1e-9 <= got <= want + num_rows * solution.eps + 1e-9
+
+
+def test_hybrid_infeasible_terminates():
+    solver, solution = KhoslaSolver.new(2, 2, 2)
+    solver.init(2, 2)
+    solver.add_value(0, 0, 1.0)
+    solver.add_value(1, 0, 2.0)
+    solver.solve(solution, False, hybrid=True)
+    assert solution.num_unassigned == 1
