@@ -2,9 +2,15 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Headline metric: batched 256x256 assignment throughput (BASELINE.json
-north star: >10,000 instances/sec on one TPU core → vs_baseline is the
-ratio against that 10k target).  Additional context lines go to stderr.
+Headline metric (BASELINE.json): wall-clock speedup solving the
+n=100,000, k~5 sparse LAP versus the sequential CPU reference engine
+(the Rust crate's stand-in, see BASELINE.md).  The TPU framework runs
+the heterogeneous solve: ε-scaled TPU bulk rounds + native chain tails,
+reaching the identical ε-optimality certificate.  vs_baseline is the
+speedup factor (>1 = faster than the reference).
+
+Also measured and logged to stderr: batched 256x256 throughput (north
+star: >10k instances/sec).
 """
 
 import json
@@ -18,42 +24,82 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_batched_256(batch=512, repeats=3):
-    import jax
+def bench_headline():
+    """n=1e5 k~5 sparse LAP: sequential CPU reference vs hybrid TPU."""
+    from sparse_linear_assignment_tpu import KhoslaSolver
+    from sparse_linear_assignment_tpu.cpu_reference import khosla_solve_cpu
+    from sparse_linear_assignment_tpu.generators import gen_symmetric_input
 
+    n = 100_000
+    solver, solution = KhoslaSolver.new(n, n, 10 * n)
+    t0 = time.perf_counter()
+    gen_symmetric_input(solver, 42, n, 5.0 / n, 0.0, 10.0)
+    log(f"headline gen: {time.perf_counter() - t0:.1f}s "
+        f"({solver.num_of_arcs()} arcs)")
+
+    # CPU reference (sequential Khosla, the Rust crate's semantics)
+    t0 = time.perf_counter()
+    cpu_sol, cpu_nits = khosla_solve_cpu(solver)
+    cpu_time = time.perf_counter() - t0
+    cpu_obj = solver.get_objective(cpu_sol)
+    log(f"CPU reference: {cpu_time:.2f}s nits={cpu_nits} "
+        f"unassigned={cpu_sol.num_unassigned} obj={cpu_obj:.2f}")
+
+    # TPU hybrid (eps-scaled bulk rounds on TPU + native chain tails)
+    solver.dtype = np.dtype(np.float32)
+    t0 = time.perf_counter()
+    solver.solve(solution, False, scale_eps=True, hybrid=True)
+    first = time.perf_counter() - t0
+    log(f"hybrid first (incl compile/cache load): {first:.2f}s")
+    best = first
+    for _ in range(3):
+        t0 = time.perf_counter()
+        solver.solve(solution, False, scale_eps=True, hybrid=True)
+        best = min(best, time.perf_counter() - t0)
+    tpu_obj = solver.get_objective(solution)
+    log(f"hybrid steady best: {best:.2f}s unassigned="
+        f"{solution.num_unassigned} obj={tpu_obj:.2f}")
+    # both must reach a full matching; objectives agree to the eps bound
+    assert solution.num_unassigned == 0
+    assert abs(tpu_obj - cpu_obj) <= n * solution.eps + 1e-6, (tpu_obj, cpu_obj)
+    return cpu_time / best
+
+
+def bench_batched(batch=512, repeats=2):
     from sparse_linear_assignment_tpu.batch import solve_batch
 
     rng = np.random.default_rng(0)
     n = 256
     costs = rng.integers(1, 1000, size=(batch, n, n)).astype(np.float64)
-
-    # warm-up / compile
     t0 = time.perf_counter()
     sol = solve_batch(costs, solver="forward", dtype=np.float32)
-    t1 = time.perf_counter()
-    log(f"compile+first batch: {t1 - t0:.1f}s; "
+    log(f"batched compile+first: {time.perf_counter() - t0:.1f}s "
         f"unassigned={int(sol.num_unassigned.sum())}")
-
     best = 0.0
     for _ in range(repeats):
         costs = rng.integers(1, 1000, size=(batch, n, n)).astype(np.float64)
         t0 = time.perf_counter()
         sol = solve_batch(costs, solver="forward", dtype=np.float32)
-        t1 = time.perf_counter()
-        ips = batch / (t1 - t0)
-        log(f"batch of {batch}: {t1 - t0:.3f}s -> {ips:.0f} inst/s "
+        dt = time.perf_counter() - t0
+        best = max(best, batch / dt)
+        log(f"batched: {dt:.2f}s -> {batch / dt:.0f} inst/s "
             f"(unassigned={int(sol.num_unassigned.sum())})")
-        best = max(best, ips)
     return best
 
 
 def main():
-    value = bench_batched_256()
+    speedup = bench_headline()
+    try:
+        ips = bench_batched()
+        log(f"batched 256x256 throughput: {ips:.0f} inst/s "
+            f"(north star 10k/s)")
+    except Exception as e:  # batched is secondary; don't fail the bench
+        log(f"batched bench failed: {e!r}")
     print(json.dumps({
-        "metric": "batched_256x256_instances_per_sec",
-        "value": round(value, 1),
-        "unit": "instances/sec",
-        "vs_baseline": round(value / 10_000.0, 4),
+        "metric": "n1e5_k5_sparse_lap_speedup_vs_sequential_cpu",
+        "value": round(speedup, 3),
+        "unit": "x",
+        "vs_baseline": round(speedup, 3),
     }))
 
 

@@ -24,9 +24,16 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .ops.auction import forward_solve, khosla_solve
+from .ops.auction import (
+    ForwardState,
+    KhoslaState,
+    forward_round,
+    khosla_round,
+)
 from .ops.dense import DenseProblem
 from .solution import UNASSIGNED
+
+_INT_MAX = jnp.int32(UNASSIGNED)
 
 
 @dataclasses.dataclass
@@ -47,58 +54,122 @@ class BatchSolution:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("solver", "max_iterations", "n", "m")
+    jax.jit, static_argnames=("solver", "max_iterations", "chunk", "n", "m")
 )
-def _solve_batch_dense(
+def _batch_chunk(
     values_t,  # [B, M, N] profit values (already sign-adjusted), dtype f
+    states,  # batched KhoslaState / ForwardState
     eps,  # scalar
     target_eps,  # scalar
     toleration,  # scalar
-    thresholds,  # [B] khosla price thresholds
+    thresholds,  # [B] khosla price thresholds (forward: unused)
     solver: str,
     max_iterations: int,
+    chunk: int,
     n: int,
     m: int,
 ):
-    dtype = values_t.dtype
-
-    def make_problem(vals_t):
-        # gather-free dense representation (see ops/dense.py)
-        return DenseProblem(vals_t)
+    """Run ``chunk`` rounds of every instance (vmapped scan) and report
+    whether all instances are finished.  Host-chunked structure: dynamic
+    `lax.while_loop` bodies send this TPU backend's compiler into
+    pathological blowups, fixed-length scans compile in seconds."""
 
     if solver == "khosla":
 
-        def one(vals_t, threshold):
-            return khosla_solve(
-                make_problem(vals_t), eps, threshold,
-                max_rounds=max_iterations,
-            )
+        def one(vals_t, state, threshold):
+            problem = DenseProblem(vals_t)
 
-        prices, p2o, o2p, num_unassigned, nits = jax.vmap(one)(
-            values_t, thresholds
+            def body(s, _):
+                return khosla_round(problem, s, eps, threshold), None
+
+            state, _ = lax.scan(body, state, None, length=chunk)
+            return state
+
+        states = jax.vmap(one)(values_t, states, thresholds)
+        alldone = jnp.all(
+            jnp.sum(
+                (states.p2o == UNASSIGNED) & ~states.dropped,
+                axis=1, dtype=jnp.int32,
+            ) == 0
+        ) | jnp.all(states.nits >= max_iterations)
+        return states, alldone
+    else:
+
+        def one(vals_t, state):
+            problem = DenseProblem(vals_t)
+
+            def body(s, _):
+                return (
+                    forward_round(
+                        problem, s, target_eps, toleration,
+                        jnp.asarray(n != m, bool),
+                        jnp.asarray(max_iterations, jnp.int32),
+                        keep_valid=True,
+                    ),
+                    None,
+                )
+
+            state, _ = lax.scan(body, state, None, length=chunk)
+            return state
+
+        states = jax.vmap(one)(values_t, states)
+        return states, jnp.all(states.done)
+
+
+def _solve_batch_dense(
+    values_t, eps, target_eps, toleration, thresholds,
+    solver: str, max_iterations: int, n: int, m: int, chunk: int = 64,
+):
+    b = values_t.shape[0]
+    dtype = values_t.dtype
+    np_dtype = np.dtype(dtype)
+    eps = np_dtype.type(eps)
+    target_eps = np_dtype.type(target_eps)
+    toleration = np_dtype.type(toleration)
+    thresholds = jnp.asarray(np.asarray(thresholds), dtype)
+
+    if solver == "khosla":
+        states = KhoslaState(
+            prices=jnp.zeros((b, m), dtype),
+            p2o=jnp.full((b, n), _INT_MAX, jnp.int32),
+            o2p=jnp.full((b, m), _INT_MAX, jnp.int32),
+            dropped=jnp.zeros((b, n), bool),
+            nits=jnp.zeros((b,), jnp.int32),
         )
-        final_eps = jnp.broadcast_to(jnp.asarray(eps, dtype), nits.shape)
-        return p2o, o2p, num_unassigned, final_eps, nits
     elif solver == "forward":
-
-        def one(vals_t, start_eps):
-            # asymmetric instances disable eps-scaling (symmetric.rs:256-267)
-            return forward_solve(
-                make_problem(vals_t),
-                start_eps,
-                target_eps,
-                toleration,
-                n != m,
-                max_iterations,
-            )
-
-        # start eps = C/2 per instance (symmetric.rs:268-273)
-        start_eps = thresholds  # reused slot: C/2 per instance
-        (prices, p2o, o2p, num_unassigned, nits, nreductions,
-         optimal, final_eps) = jax.vmap(one)(values_t, start_eps)
-        return p2o, o2p, num_unassigned, final_eps, nits
+        states = ForwardState(
+            prices=jnp.zeros((b, m), dtype),
+            p2o=jnp.full((b, n), _INT_MAX, jnp.int32),
+            o2p=jnp.full((b, m), _INT_MAX, jnp.int32),
+            eps=thresholds,  # start eps = C/2 per instance
+            nits=jnp.zeros((b,), jnp.int32),
+            nreductions=jnp.zeros((b,), jnp.int32),
+            optimal_found=jnp.zeros((b,), bool),
+            done=jnp.zeros((b,), bool),
+        )
     else:  # pragma: no cover
         raise ValueError(f"unknown solver {solver!r}")
+
+    rounds = 0
+    while True:
+        states, alldone = _batch_chunk(
+            values_t, states, eps, target_eps, toleration, thresholds,
+            solver, max_iterations, chunk, n, m,
+        )
+        rounds += chunk
+        if bool(alldone) or rounds >= max_iterations:
+            break
+
+    num_unassigned = jnp.sum(
+        states.p2o == UNASSIGNED, axis=1, dtype=jnp.int32
+    )
+    if solver == "khosla":
+        final_eps = jnp.broadcast_to(
+            jnp.asarray(eps, dtype), states.nits.shape
+        )
+    else:
+        final_eps = states.eps
+    return states.p2o, states.o2p, num_unassigned, final_eps, states.nits
 
 
 def solve_batch(
@@ -108,6 +179,7 @@ def solve_batch(
     eps: Optional[float] = None,
     dtype=np.float32,
     max_iterations: int = 100_000,
+    start_eps_divisor: float = 128.0,
 ) -> BatchSolution:
     """Solve a batch of dense LAP instances ``costs[B, N, M]`` (N <= M).
 
@@ -141,7 +213,10 @@ def solve_batch(
     else:
         eps_val = float(eps) if eps is not None else 1.0 / n
         c = np.abs(work.reshape(b, -1)).max(axis=1)
-        thresholds = np.where(n == m, c / 2.0, eps_val)  # start eps
+        # start eps: the reference uses C/2 (symmetric.rs:268-273); a
+        # smaller start converges in markedly fewer Jacobi rounds on
+        # dense instances (keep-valid-pairs makes later phases cheap)
+        thresholds = np.where(n == m, c / start_eps_divisor, eps_val)
         target_eps = eps_val
         toleration = float(
             2.0 ** (max(0, int(np.log2(float(c.max()) + 1e-7))) - 53)
@@ -149,10 +224,10 @@ def solve_batch(
 
     p2o, o2p, num_unassigned, final_eps, nits = _solve_batch_dense(
         values_t,
-        jnp.asarray(eps_val, dtype),
-        jnp.asarray(target_eps, dtype),
-        jnp.asarray(toleration, dtype),
-        jnp.asarray(np.asarray(thresholds), dtype),
+        float(eps_val),
+        float(target_eps),
+        float(toleration),
+        np.asarray(thresholds, dtype=np.float64),
         solver,
         int(max_iterations),
         n,

@@ -137,20 +137,6 @@ def _resolve_and_assign_dense(
     return prices_new, p2o_new, o2p_new
 
 
-def _ecs_satisfied_dense(problem, prices, p2o, eps, toleration):
-    neg_inf = -jnp.inf
-    vals_t = problem.vals_t
-    profit = vals_t - prices[:, None]
-    max_profit = jnp.max(profit, axis=0)
-    j_iota = lax.broadcasted_iota(jnp.int32, vals_t.shape, 0)
-    is_chosen = p2o[None, :] == j_iota
-    chosen_profit = jnp.max(
-        jnp.where(is_chosen, profit, jnp.asarray(neg_inf, profit.dtype)),
-        axis=0,
-    )
-    return jnp.all(chosen_profit + toleration >= max_profit - eps)
-
-
 # ----------------------------------------------------------------------
 # Phase 2+3: conflict resolution and assignment (gather-only)
 # ----------------------------------------------------------------------
@@ -214,19 +200,20 @@ def _price_at_best(problem, prices, best_col, best, best_val):
 # ----------------------------------------------------------------------
 # Device-side ε-CS certificate (reference: solver.rs:154-189)
 # ----------------------------------------------------------------------
-def ecs_satisfied_device(
-    problem: PaddedProblem,
-    prices: jnp.ndarray,
-    p2o: jnp.ndarray,
-    eps,
-    toleration,
-) -> jnp.ndarray:
-    """Vectorized ε-complementary-slackness check; only meaningful when the
-    assignment is complete (as in the reference call site,
-    `symmetric.rs:280-285`)."""
-    if isinstance(problem, DenseProblem):
-        return _ecs_satisfied_dense(problem, prices, p2o, eps, toleration)
+def ecs_margins(problem, prices: jnp.ndarray, p2o: jnp.ndarray):
+    """Per-person (chosen_profit, max_profit) for ε-CS checks."""
     neg_inf = -jnp.inf
+    if isinstance(problem, DenseProblem):
+        vals_t = problem.vals_t
+        profit = vals_t - prices[:, None]
+        max_profit = jnp.max(profit, axis=0)
+        j_iota = lax.broadcasted_iota(jnp.int32, vals_t.shape, 0)
+        is_chosen = p2o[None, :] == j_iota
+        chosen_profit = jnp.max(
+            jnp.where(is_chosen, profit, jnp.asarray(neg_inf, profit.dtype)),
+            axis=0,
+        )
+        return chosen_profit, max_profit
     profit = jnp.where(
         problem.row_mask,
         problem.row_vals - prices[problem.row_cols],
@@ -238,8 +225,22 @@ def ecs_satisfied_device(
         jnp.where(is_chosen, problem.row_vals, neg_inf), axis=0
     )
     safe_j = jnp.where(p2o != UNASSIGNED, p2o, 0)
-    lhs = chosen_val - prices[safe_j] + toleration
-    return jnp.all(lhs >= max_profit - eps)
+    chosen_profit = chosen_val - prices[safe_j]
+    return chosen_profit, max_profit
+
+
+def ecs_satisfied_device(
+    problem: PaddedProblem,
+    prices: jnp.ndarray,
+    p2o: jnp.ndarray,
+    eps,
+    toleration,
+) -> jnp.ndarray:
+    """Vectorized ε-complementary-slackness check; only meaningful when the
+    assignment is complete (as in the reference call site,
+    `symmetric.rs:280-285`)."""
+    chosen_profit, max_profit = ecs_margins(problem, prices, p2o)
+    return jnp.all(chosen_profit + toleration >= max_profit - eps)
 
 
 # ----------------------------------------------------------------------
@@ -251,6 +252,33 @@ class KhoslaState(NamedTuple):
     o2p: jnp.ndarray
     dropped: jnp.ndarray
     nits: jnp.ndarray
+
+
+def khosla_round(problem, s: KhoslaState, eps, price_threshold) -> KhoslaState:
+    """One synchronous Khosla round (choice / drop / update / assign).
+    A no-op (except for already--inf bids) when no person is active, so
+    it is safe inside fixed-length scans and under vmap."""
+    active = (s.p2o == UNASSIGNED) & ~s.dropped
+    any_active = jnp.any(active)
+    best, second, best_col, best_val = top2_profits(problem, s.prices)
+    price_at_best = _price_at_best(problem, s.prices, best_col, best, best_val)
+    drop_now = active & (price_at_best > price_threshold)
+    bidder = active & ~drop_now
+    has_second = second != -jnp.inf
+    raw_bid = jnp.where(
+        has_second, best_val - second + eps, price_at_best + eps
+    )
+    bid = jnp.where(bidder, raw_bid, -jnp.inf)
+    prices, p2o, o2p = resolve_and_assign(
+        problem, s.prices, s.p2o, s.o2p, bid, best_col
+    )
+    return KhoslaState(
+        prices=prices,
+        p2o=p2o,
+        o2p=o2p,
+        dropped=s.dropped | drop_now,
+        nits=s.nits + any_active.astype(jnp.int32),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("max_rounds",))
@@ -290,30 +318,7 @@ def khosla_solve(
         return jnp.any(active) & (s.nits < max_rounds)
 
     def body(s: KhoslaState):
-        active = (s.p2o == UNASSIGNED) & ~s.dropped
-        # under vmap the loop runs until the slowest batch instance
-        # terminates; finished instances take no-op rounds and must not
-        # keep counting
-        any_active = jnp.any(active)
-        best, second, best_col, best_val = top2_profits(problem, s.prices)
-        price_at_best = _price_at_best(problem, s.prices, best_col, best, best_val)
-        drop_now = active & (price_at_best > price_threshold)
-        bidder = active & ~drop_now
-        has_second = second != -jnp.inf
-        raw_bid = jnp.where(
-            has_second, best_val - second + eps, price_at_best + eps
-        )
-        bid = jnp.where(bidder, raw_bid, -jnp.inf)
-        prices, p2o, o2p = resolve_and_assign(
-            problem, s.prices, s.p2o, s.o2p, bid, best_col
-        )
-        return KhoslaState(
-            prices=prices,
-            p2o=p2o,
-            o2p=o2p,
-            dropped=s.dropped | drop_now,
-            nits=s.nits + any_active.astype(jnp.int32),
-        )
+        return khosla_round(problem, s, eps, price_threshold)
 
     final = lax.while_loop(cond, body, init)
     num_unassigned = jnp.sum(final.p2o == UNASSIGNED).astype(jnp.int32)
@@ -332,6 +337,109 @@ class ForwardState(NamedTuple):
     nreductions: jnp.ndarray
     optimal_found: jnp.ndarray
     done: jnp.ndarray
+
+
+def forward_round(
+    problem,
+    s: ForwardState,
+    target_eps,
+    toleration,
+    start_from_optimal_eps,
+    max_iterations,
+    keep_valid: bool = False,
+) -> ForwardState:
+    """One forward-auction round including the ε-scaling bookkeeping.
+    A no-op once ``done`` is set, so it is safe inside fixed-length
+    scans and under vmap.
+
+    Bid rule (`symmetric.rs:378`): bid = best edge value − second-best
+    profit + eps.  Deliberate deviation from the reference for the
+    single-arc case (second = −inf): the reference bids +inf, which
+    poisons the price permanently — after an ε-reduction reset the
+    person sees −inf profit, re-bids NaN (`symmetric.rs:359,378`) and
+    the solve loops until max_iterations even on feasible instances.
+    We bid `price + eps` instead (the Khosla guard, `ksparse.rs:226`),
+    which preserves ε-CS, keeps prices finite (also required for the
+    float32 fast path) and terminates optimally where the reference
+    stalls.
+    """
+    dtype = s.prices.dtype
+    unassigned = (s.p2o == UNASSIGNED) & ~s.done
+    best, second, best_col, best_val = top2_profits(problem, s.prices)
+    has_second = second != -jnp.inf
+    raw_bid = jnp.where(
+        has_second,
+        best_val - second + s.eps,
+        _price_at_best(problem, s.prices, best_col, best, best_val) + s.eps,
+    )
+    bid = jnp.where(unassigned & (best != -jnp.inf), raw_bid, -jnp.inf)
+    prices, p2o, o2p = resolve_and_assign(
+        problem, s.prices, s.p2o, s.o2p, bid, best_col
+    )
+    # no-op guard for finished instances (vmap / fixed-length scans)
+    nits = s.nits + (~s.done).astype(jnp.int32)
+    num_unassigned = jnp.sum(p2o == UNASSIGNED, dtype=jnp.int32)
+    fully = (num_unassigned == 0) & ~s.done
+
+    def when_full(args):
+        prices, p2o, o2p, eps, nreductions, optimal_found, done = args
+        chosen_profit, max_profit = ecs_margins(problem, prices, p2o)
+        is_optimal = start_from_optimal_eps | jnp.all(
+            chosen_profit + toleration >= max_profit - target_eps
+        )
+        # terminate when optimal, or already below target eps
+        # (shown optimal for eps < 1/n, `symmetric.rs:290-294`)
+        stop = is_optimal | (eps < target_eps)
+        reduce = ~stop
+        eps_new = jnp.where(reduce, eps * jnp.asarray(0.15, dtype), eps)
+        if keep_valid:
+            # Extension over the reference's full reset
+            # (`symmetric.rs:299-321`): keep every pair that already
+            # satisfies ε-CS at the reduced eps — the auction invariant
+            # is preserved, so the final certificate is identical, but
+            # each phase re-auctions only the few invalid pairs.
+            keep = (p2o != _INT_MAX) & (
+                chosen_profit + toleration >= max_profit - eps_new
+            )
+            p2o_new = jnp.where(reduce, jnp.where(keep, p2o, _INT_MAX), p2o)
+            safe_owner = jnp.where(o2p != _INT_MAX, o2p, 0)
+            o2p_keep = (o2p != _INT_MAX) & keep[safe_owner]
+            o2p_new = jnp.where(
+                reduce, jnp.where(o2p_keep, o2p, _INT_MAX), o2p
+            )
+        else:
+            p2o_new = jnp.where(reduce, _INT_MAX, p2o)
+            o2p_new = jnp.where(reduce, _INT_MAX, o2p)
+        return (
+            prices,
+            p2o_new,
+            o2p_new,
+            eps_new,
+            nreductions + reduce.astype(jnp.int32),
+            optimal_found | is_optimal,
+            done | stop,
+        )
+
+    def when_not_full(args):
+        return args
+
+    prices, p2o, o2p, eps, nreductions, optimal_found, done = lax.cond(
+        fully,
+        when_full,
+        when_not_full,
+        (prices, p2o, o2p, s.eps, s.nreductions, s.optimal_found, s.done),
+    )
+    done = done | (nits >= max_iterations)
+    return ForwardState(
+        prices=prices,
+        p2o=p2o,
+        o2p=o2p,
+        eps=eps,
+        nits=nits,
+        nreductions=nreductions,
+        optimal_found=optimal_found,
+        done=done,
+    )
 
 
 @jax.jit
@@ -376,74 +484,9 @@ def forward_solve(
         return ~s.done
 
     def body(s: ForwardState):
-        unassigned = s.p2o == UNASSIGNED
-        best, second, best_col, best_val = top2_profits(problem, s.prices)
-        # Bid rule (`symmetric.rs:378`): bid = best edge value − second-best
-        # profit + eps.  Deliberate deviation from the reference for the
-        # single-arc case (second = −inf): the reference bids +inf, which
-        # poisons the price permanently — after an ε-reduction reset the
-        # person sees −inf profit, re-bids NaN (`symmetric.rs:359,378`) and
-        # the solve loops until max_iterations even on feasible instances.
-        # We bid `price + eps` instead (the Khosla guard, `ksparse.rs:226`),
-        # which preserves ε-CS, keeps prices finite (also required for the
-        # float32 fast path) and terminates optimally where the reference
-        # stalls.
-        has_second = second != -jnp.inf
-        raw_bid = jnp.where(
-            has_second,
-            best_val - second + s.eps,
-            _price_at_best(problem, s.prices, best_col, best, best_val) + s.eps,
-        )
-        bid = jnp.where(unassigned & (best != -jnp.inf), raw_bid, -jnp.inf)
-        prices, p2o, o2p = resolve_and_assign(
-            problem, s.prices, s.p2o, s.o2p, bid, best_col
-        )
-        # no-op guard for finished instances under vmap
-        nits = s.nits + (~s.done).astype(jnp.int32)
-        num_unassigned = jnp.sum(p2o == UNASSIGNED, dtype=jnp.int32)
-        fully = (num_unassigned == 0) & ~s.done
-
-        def when_full(args):
-            prices, p2o, o2p, eps, nreductions, optimal_found, done = args
-            is_optimal = start_from_optimal_eps | ecs_satisfied_device(
-                problem, prices, p2o, target_eps, toleration
-            )
-            # terminate when optimal, or already below target eps
-            # (shown optimal for eps < 1/n, `symmetric.rs:290-294`)
-            stop = is_optimal | (eps < target_eps)
-            reduce = ~stop
-            eps_new = jnp.where(reduce, eps * jnp.asarray(0.15, dtype), eps)
-            p2o_new = jnp.where(reduce, _INT_MAX, p2o)
-            o2p_new = jnp.where(reduce, _INT_MAX, o2p)
-            return (
-                prices,
-                p2o_new,
-                o2p_new,
-                eps_new,
-                nreductions + reduce.astype(jnp.int32),
-                optimal_found | is_optimal,
-                done | stop,
-            )
-
-        def when_not_full(args):
-            return args
-
-        prices, p2o, o2p, eps, nreductions, optimal_found, done = lax.cond(
-            fully,
-            when_full,
-            when_not_full,
-            (prices, p2o, o2p, s.eps, s.nreductions, s.optimal_found, s.done),
-        )
-        done = done | (nits >= max_iterations)
-        return ForwardState(
-            prices=prices,
-            p2o=p2o,
-            o2p=o2p,
-            eps=eps,
-            nits=nits,
-            nreductions=nreductions,
-            optimal_found=optimal_found,
-            done=done,
+        return forward_round(
+            problem, s, target_eps, toleration, start_from_optimal_eps,
+            max_iterations,
         )
 
     final = lax.while_loop(cond, body, init)
