@@ -116,6 +116,107 @@ def _batch_chunk(
         return states, jnp.all(states.done)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("max_iterations", "chunk", "sfoe")
+)
+def _batch_chunk_pallas(
+    values_t,  # [B, M, N]
+    states: ForwardState,
+    target_eps,
+    toleration,
+    max_iterations: int,
+    chunk: int,
+    sfoe: bool,
+):
+    """Forward-auction chunk built on the fused Pallas round kernel
+    (ops/pallas_dense.py): the whole round is one VMEM-resident kernel,
+    with only the per-instance ε-scaling bookkeeping in XLA.  The scan
+    carries the kernel's flat padded layouts (pad/unpad once per chunk,
+    not per round)."""
+    from .ops.pallas_dense import fused_dense_round_batch_flat
+
+    dtype = values_t.dtype
+    b, m, n = values_t.shape
+    vals2 = values_t.reshape(b * m, n)
+
+    # pad once per chunk into the kernel's flat layouts
+    flat = (
+        states.prices.reshape(b * m, 1),
+        jnp.zeros((b, 8, n), jnp.int32)
+        .at[:, 0, :].set(states.p2o).reshape(b * 8, n),
+        states.o2p.reshape(b * m, 1),
+    )
+
+    def body(carry, _):
+        prices2, p2o_pad2, o2p2, s = carry
+        prices2, p2o_pad2, o2p2, chosen_pad, maxp_pad = (
+            fused_dense_round_batch_flat(
+                vals2, prices2, p2o_pad2, o2p2, s.eps, s.done, b, m, n
+            )
+        )
+        p2o = p2o_pad2.reshape(b, 8, n)[:, 0, :]
+        chosen = chosen_pad.reshape(b, 8, n)[:, 0, :]
+        maxp = maxp_pad.reshape(b, 8, n)[:, 0, :]
+        nits = s.nits + (~s.done).astype(jnp.int32)
+        num_unassigned = jnp.sum(p2o == UNASSIGNED, axis=1, dtype=jnp.int32)
+        fully = (num_unassigned == 0) & ~s.done
+        is_optimal = jnp.all(
+            chosen + toleration >= maxp - target_eps, axis=1
+        )
+        if sfoe:
+            is_optimal = jnp.ones_like(is_optimal)
+        stop = is_optimal | (s.eps < target_eps)
+        reduce = fully & ~stop
+        eps = jnp.where(reduce, s.eps * jnp.asarray(0.15, dtype), s.eps)
+        # keep-valid pairs at the reduced eps (see forward_round); o2p
+        # stays stale and is reconstructed by the caller
+        release = reduce[:, None] & ~(
+            (p2o != _INT_MAX)
+            & (chosen + toleration >= maxp - eps[:, None])
+        )
+        p2o_pad2 = (
+            p2o_pad2.reshape(b, 8, n)
+            .at[:, 0, :].set(jnp.where(release, _INT_MAX, p2o))
+            .reshape(b * 8, n)
+        )
+        done = s.done | (fully & stop) | (nits >= max_iterations)
+        s = ForwardState(
+            prices=s.prices,  # placeholder; flat copy is authoritative
+            p2o=s.p2o,
+            o2p=s.o2p,
+            eps=eps,
+            nits=nits,
+            nreductions=s.nreductions + reduce.astype(jnp.int32),
+            optimal_found=s.optimal_found | (fully & is_optimal),
+            done=done,
+        )
+        return (prices2, p2o_pad2, o2p2, s), None
+
+    (prices2, p2o_pad2, o2p2, s), _ = lax.scan(
+        body, (*flat, states), None, length=chunk
+    )
+    states = ForwardState(
+        prices=prices2.reshape(b, m),
+        p2o=p2o_pad2.reshape(b, 8, n)[:, 0, :],
+        o2p=o2p2.reshape(b, m),
+        eps=s.eps,
+        nits=s.nits,
+        nreductions=s.nreductions,
+        optimal_found=s.optimal_found,
+        done=s.done,
+    )
+    return states, jnp.all(states.done)
+
+
+def _pallas_usable(solver: str, n: int, m: int, dtype) -> bool:
+    return (
+        solver == "forward"
+        and n % 128 == 0
+        and m % 8 == 0
+        and np.dtype(dtype) == np.float32
+    )
+
+
 def _solve_batch_dense(
     values_t, eps, target_eps, toleration, thresholds,
     solver: str, max_iterations: int, n: int, m: int, chunk: int = 64,
@@ -150,12 +251,21 @@ def _solve_batch_dense(
     else:  # pragma: no cover
         raise ValueError(f"unknown solver {solver!r}")
 
+    use_pallas = _pallas_usable(solver, n, m, dtype) and (
+        jax.default_backend() not in ("cpu",)
+    )
     rounds = 0
     while True:
-        states, alldone = _batch_chunk(
-            values_t, states, eps, target_eps, toleration, thresholds,
-            solver, max_iterations, chunk, n, m,
-        )
+        if use_pallas:
+            states, alldone = _batch_chunk_pallas(
+                values_t, states, target_eps, toleration,
+                max_iterations, chunk, n != m,
+            )
+        else:
+            states, alldone = _batch_chunk(
+                values_t, states, eps, target_eps, toleration, thresholds,
+                solver, max_iterations, chunk, n, m,
+            )
         rounds += chunk
         if bool(alldone) or rounds >= max_iterations:
             break
@@ -236,6 +346,11 @@ def solve_batch(
 
     p2o_np = np.asarray(p2o)
     assigned = p2o_np != UNASSIGNED
+    # reconstruct object_to_person from the final matching (keep-valid
+    # phases leave o2p stale by design, see forward_round)
+    o2p = np.full((b, m), UNASSIGNED, dtype=np.int32)
+    rows, cols_idx = np.nonzero(assigned)
+    o2p[rows, p2o_np[rows, cols_idx]] = cols_idx
     safe = np.where(assigned, p2o_np, 0)
     picked = np.take_along_axis(
         costs.astype(np.float64), safe[:, :, None], axis=2

@@ -32,9 +32,11 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..solution import UNASSIGNED
+from ..utils.trace import trace_round
 from .dense import DenseProblem
 from .padded import PaddedProblem
 
@@ -272,6 +274,11 @@ def khosla_round(problem, s: KhoslaState, eps, price_threshold) -> KhoslaState:
     prices, p2o, o2p = resolve_and_assign(
         problem, s.prices, s.p2o, s.o2p, bid, best_col
     )
+    trace_round(
+        "khosla round {}: active={} dropped={}",
+        s.nits, jnp.sum(active, dtype=jnp.int32),
+        jnp.sum(drop_now, dtype=jnp.int32),
+    )
     return KhoslaState(
         prices=prices,
         p2o=p2o,
@@ -398,15 +405,13 @@ def forward_round(
             # satisfies ε-CS at the reduced eps — the auction invariant
             # is preserved, so the final certificate is identical, but
             # each phase re-auctions only the few invalid pairs.
+            # o2p is left stale: rounds only ever *write* it, so the
+            # caller reconstructs it from the final p2o.
             keep = (p2o != _INT_MAX) & (
                 chosen_profit + toleration >= max_profit - eps_new
             )
             p2o_new = jnp.where(reduce, jnp.where(keep, p2o, _INT_MAX), p2o)
-            safe_owner = jnp.where(o2p != _INT_MAX, o2p, 0)
-            o2p_keep = (o2p != _INT_MAX) & keep[safe_owner]
-            o2p_new = jnp.where(
-                reduce, jnp.where(o2p_keep, o2p, _INT_MAX), o2p
-            )
+            o2p_new = o2p
         else:
             p2o_new = jnp.where(reduce, _INT_MAX, p2o)
             o2p_new = jnp.where(reduce, _INT_MAX, o2p)
@@ -430,6 +435,10 @@ def forward_round(
         (prices, p2o, o2p, s.eps, s.nreductions, s.optimal_found, s.done),
     )
     done = done | (nits >= max_iterations)
+    trace_round(
+        "forward round {}: unassigned={} eps={}",
+        nits, num_unassigned, eps,
+    )
     return ForwardState(
         prices=prices,
         p2o=p2o,
@@ -500,4 +509,80 @@ def forward_solve(
         final.nreductions,
         final.optimal_found,
         final.eps,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def forward_run_chunk(
+    problem,
+    state: ForwardState,
+    target_eps,
+    toleration,
+    start_from_optimal_eps,
+    max_iterations,
+    chunk: int,
+):
+    """``chunk`` forward rounds as a fixed-length scan (host-chunked
+    driver; dynamic while_loop bodies blow up this TPU backend's
+    compiler)."""
+
+    def body(s, _):
+        return (
+            forward_round(
+                problem, s, target_eps, toleration,
+                start_from_optimal_eps, max_iterations,
+            ),
+            None,
+        )
+
+    state, _ = lax.scan(body, state, None, length=chunk)
+    return state
+
+
+def forward_solve_chunked(
+    problem,
+    start_eps,
+    target_eps,
+    toleration,
+    start_from_optimal_eps,
+    max_iterations,
+    chunk: int = 64,
+):
+    """Host-driven forward solve: same semantics and return values as
+    :func:`forward_solve`, structured as chunks of fixed-length scans."""
+    dtype = problem.dtype
+    np_dtype = np.dtype(dtype)
+    n = problem.num_rows
+    m = problem.num_cols
+    init = ForwardState(
+        prices=jnp.zeros(m, dtype),
+        p2o=jnp.full(n, _INT_MAX, jnp.int32),
+        o2p=jnp.full(m, _INT_MAX, jnp.int32),
+        eps=jnp.asarray(np_dtype.type(start_eps)),
+        nits=jnp.zeros((), jnp.int32),
+        nreductions=jnp.zeros((), jnp.int32),
+        optimal_found=jnp.zeros((), bool),
+        done=jnp.zeros((), bool),
+    )
+    target_eps = np_dtype.type(target_eps)
+    toleration = np_dtype.type(toleration)
+    start_from_optimal_eps = np.bool_(start_from_optimal_eps)
+    max_iterations_i = np.int32(max_iterations)
+
+    state = init
+    while not bool(state.done):
+        state = forward_run_chunk(
+            problem, state, target_eps, toleration,
+            start_from_optimal_eps, max_iterations_i, chunk,
+        )
+    num_unassigned = jnp.sum(state.p2o == UNASSIGNED).astype(jnp.int32)
+    return (
+        state.prices,
+        state.p2o,
+        state.o2p,
+        num_unassigned,
+        state.nits,
+        state.nreductions,
+        state.optimal_found,
+        state.eps,
     )

@@ -35,7 +35,7 @@ from typing import Optional
 
 import numpy as np
 
-from .ops.auction import forward_solve
+from .ops.auction import forward_solve_chunked
 from .ops.padded import build_padded_problem
 from .solution import AuctionSolution
 from .solver import AuctionSolver
@@ -113,7 +113,7 @@ class ForwardAuctionSolver(AuctionSolver):
             nreductions,
             optimal_found,
             final_eps,
-        ) = forward_solve(
+        ) = forward_solve_chunked(
             problem,
             eps0,
             target_eps,
