@@ -21,8 +21,13 @@ The auction theory is order-insensitive: any ε-CS-preserving bidding order
 reaches an ε-optimal matching, so the Jacobi schedule keeps the reference's
 optimality guarantees while exposing full vector parallelism.
 
-Everything runs inside a single `lax.while_loop` under `jax.jit` — zero
-host round-trips per solve.
+Drivers: the while_loop solvers (`khosla_solve`, `forward_solve`) run the
+entire solve in one compiled program and are ideal on CPU; on this TPU
+backend dynamic while_loop bodies with gathers blow up the compiler, so
+the production paths are host-chunked fixed-length scans
+(`forward_solve_chunked` here, the slot-list engine in `ops/compact.py`,
+and the batch driver in `batch.py`) — a handful of host syncs per solve,
+each amortized over a chunk of rounds.
 """
 
 from __future__ import annotations
