@@ -17,6 +17,12 @@ assignment) to the native engine (`native/engine.cpp:slap_khosla_finish`)
 to finish the phase's chains.  Both engines implement the exact same
 choice/update/drop rules (`ksparse.rs:199-227,218-220`), so the final
 matching carries the same ε-optimality certificate as the pure solvers.
+
+Honest scaling note (measured, docs/PERFORMANCE.md): at n≈1e5 the
+sequential pops of the ε-scaled auction are cheap enough that the native
+engine alone (`tail_threshold` above n) is fastest (~0.37 s); the TPU
+bulk phase pays off as instance size/contention grows and for batched
+workloads.  `tail_threshold` tunes the handoff point.
 """
 
 from __future__ import annotations
@@ -46,7 +52,7 @@ def khosla_solve_hybrid(
     w_max: float,
     scale: bool = True,
     reduction_factor: float = 0.125,
-    tail_threshold: int = 4096,
+    tail_threshold: int = 65536,
     chunk: int = 8,
 ):
     """Solve with TPU bulk rounds + native chain tails.

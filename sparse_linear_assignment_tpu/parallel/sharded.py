@@ -21,6 +21,14 @@ gathers all bids, resolves conflicts for its object shard, gathers the
 winner vector, and updates its slices — all inside one `lax.while_loop`
 under `shard_map`, so the entire multi-device solve is a single XLA
 program with no host round-trips.
+
+Validated on multi-device CPU meshes (the driver's `dryrun_multichip`
+path; multi-chip TPU hardware is not available in this environment).
+Note for real multi-chip TPU deployment: this backend's compiler
+struggles with while_loop + gather bodies (docs/PERFORMANCE.md), so the
+loop should be restructured into host-chunked scans like the
+single-chip drivers — planned for a future round alongside real
+multi-chip measurement.
 """
 
 from __future__ import annotations
