@@ -18,17 +18,15 @@ of D host-side):
 
 Per round each device: gathers full prices, bids for its person shard,
 gathers all bids, resolves conflicts for its object shard, gathers the
-winner vector, and updates its slices — all inside one `lax.while_loop`
-under `shard_map`, so the entire multi-device solve is a single XLA
-program with no host round-trips.
+winner vector, and updates its slices.  Rounds run as host-chunked
+fixed-length scans (the same structure as the single-chip drivers; the
+TPU backend's compiler cannot handle dynamic while_loop + gather
+bodies, docs/PERFORMANCE.md), with one replicated active-count scalar
+read back per chunk.
 
 Validated on multi-device CPU meshes (the driver's `dryrun_multichip`
-path; multi-chip TPU hardware is not available in this environment).
-Note for real multi-chip TPU deployment: this backend's compiler
-struggles with while_loop + gather bodies (docs/PERFORMANCE.md), so the
-loop should be restructured into host-chunked scans like the
-single-chip drivers — planned for a future round alongside real
-multi-chip measurement.
+path); multi-chip TPU hardware is not available in this environment, so
+ICI-scale measurement is future work.
 """
 
 from __future__ import annotations
@@ -64,15 +62,20 @@ def _round_body(
     profit = jnp.where(
         row_mask, row_vals - prices_full[row_cols], -jnp.inf
     )  # [K, N/D]
-    best_k = jnp.argmax(profit, axis=0)
-    best = jnp.take_along_axis(profit, best_k[None, :], axis=0)[0]
+    # masked-reduction top-2 (argmax/take_along_axis are slow paths on
+    # TPU, see ops/auction.py:top2_profits)
+    k = profit.shape[0]
+    best = jnp.max(profit, axis=0)
     k_iota = lax.broadcasted_iota(jnp.int32, profit.shape, 0)
-    second = jnp.max(
-        jnp.where(k_iota == best_k[None, :].astype(jnp.int32), -jnp.inf, profit),
-        axis=0,
+    best_k = jnp.min(
+        jnp.where(profit == best[None, :], k_iota, jnp.int32(k)), axis=0
     )
-    best_col = jnp.take_along_axis(row_cols, best_k[None, :], axis=0)[0]
-    best_val = jnp.take_along_axis(row_vals, best_k[None, :], axis=0)[0]
+    sel = k_iota == best_k[None, :]
+    second = jnp.max(jnp.where(sel, -jnp.inf, profit), axis=0)
+    best_col = jnp.max(jnp.where(sel, row_cols, 0), axis=0)
+    best_val = jnp.max(
+        jnp.where(sel, row_vals, jnp.asarray(-jnp.inf, profit.dtype)), axis=0
+    )
 
     active = (p2o_sh == UNASSIGNED) & ~dropped_sh
     price_at_best = prices_full[best_col]
@@ -120,53 +123,51 @@ def _round_body(
     p2o_new = jnp.where(won, best_col, jnp.where(displaced, _INT_MAX, p2o_sh))
 
     dropped_new = dropped_sh | drop_now
-    num_active = lax.psum(
+    num_active_new = lax.psum(
         jnp.sum((p2o_new == UNASSIGNED) & ~dropped_new), axis
     ).astype(jnp.int32)
     del d
-    return (prices_new, p2o_new, o2p_new, dropped_new, nits + 1, num_active)
+    # rounds after the solve completes (fixed-length chunk tail) are
+    # no-ops and must not count
+    nits_new = nits + (num_active > 0).astype(jnp.int32)
+    return (prices_new, p2o_new, o2p_new, dropped_new, nits_new, num_active_new)
 
 
-def _sharded_khosla_shardmap(
+def _sharded_khosla_chunk_shardmap(
     row_cols, row_vals, row_mask, col_persons, col_mask,
-    dropped_init, eps, threshold, max_rounds,
+    prices, p2o, o2p, dropped, nits, eps, threshold, chunk,
 ):
-    """Body run per-device by shard_map: full while_loop over rounds."""
-    dtype = row_vals.dtype
-    n_local = row_cols.shape[1]
-    m_local = col_persons.shape[1]
+    """Per-device chunk of ``chunk`` rounds as a fixed-length scan (the
+    host drives the outer loop — dynamic while_loop bodies with gathers
+    are a compile hazard on the TPU backend, see docs/PERFORMANCE.md)."""
+    num_active = lax.psum(
+        jnp.sum((p2o == UNASSIGNED) & ~dropped), "shard"
+    ).astype(jnp.int32)
+    state = (prices, p2o, o2p, dropped, nits, num_active)
 
-    # initial carry must be marked as varying over the mesh axis, since the
-    # loop body produces shard-varying values
-    state = (
-        lax.pvary(jnp.zeros(m_local, dtype), "shard"),          # prices
-        lax.pvary(jnp.full(n_local, _INT_MAX, jnp.int32), "shard"),  # p2o
-        lax.pvary(jnp.full(m_local, _INT_MAX, jnp.int32), "shard"),  # o2p
-        dropped_init,                                           # dropped
-        jnp.zeros((), jnp.int32),
-        lax.psum(jnp.sum(~dropped_init), "shard").astype(jnp.int32),
-    )
-
-    def cond(s):
-        return (s[5] > 0) & (s[4] < max_rounds)
-
-    def body(s):
-        return _round_body(
-            row_cols, row_vals, row_mask, col_persons, col_mask,
-            eps, threshold, s,
+    def body(s, _):
+        return (
+            _round_body(
+                row_cols, row_vals, row_mask, col_persons, col_mask,
+                eps, threshold, s,
+            ),
+            None,
         )
 
-    prices, p2o, o2p, dropped, nits, _ = lax.while_loop(cond, body, state)
-    return prices, p2o, o2p, nits
+    state, _ = lax.scan(body, state, None, length=chunk)
+    prices, p2o, o2p, dropped, nits, num_active = state
+    return prices, p2o, o2p, dropped, nits, num_active
 
 
-def sharded_khosla_core(mesh: Mesh):
-    """Build the jitted multi-device Khosla solve for ``mesh`` (1-D, axis
-    ``"shard"``).  Returns a function of the padded sharded arrays."""
+@functools.lru_cache(maxsize=8)
+def sharded_khosla_core(mesh: Mesh, chunk: int = 16):
+    """Build the jitted multi-device chunk program for ``mesh`` (1-D,
+    axis ``"shard"``).  Returns a function of the padded sharded arrays
+    and the solve state; the host loops it until no bidder is active."""
     axis = mesh.axis_names[0]
 
     fn = jax.shard_map(
-        functools.partial(_sharded_khosla_shardmap),
+        functools.partial(_sharded_khosla_chunk_shardmap, chunk=chunk),
         mesh=mesh,
         in_specs=(
             P(None, axis),  # row_cols
@@ -174,12 +175,15 @@ def sharded_khosla_core(mesh: Mesh):
             P(None, axis),  # row_mask
             P(None, axis),  # col_persons
             P(None, axis),  # col_mask
-            P(axis),        # dropped_init
+            P(axis),        # prices
+            P(axis),        # p2o
+            P(axis),        # o2p
+            P(axis),        # dropped
+            P(),            # nits
             P(),            # eps
             P(),            # threshold
-            P(),            # max_rounds
         ),
-        out_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
     )
     return jax.jit(fn)
 
@@ -234,17 +238,39 @@ def solve_sharded_khosla(
     col_persons = pad_to(problem.col_persons, d, 1)
     col_mask = pad_to(problem.col_mask, d, 1)
     n_pad = row_cols.shape[1]
+    m_pad = col_persons.shape[1]
     dropped_init = np.zeros(n_pad, bool)
     dropped_init[solver.num_rows:] = True  # padding persons never bid
 
     core = sharded_khosla_core(mesh)
-    prices, p2o, o2p, nits = core(
-        row_cols, row_vals, row_mask, col_persons, col_mask,
-        dropped_init,
-        np.asarray(eps, dtype=solver.dtype),
-        np.asarray(threshold, dtype=solver.dtype),
-        np.int32(max_rounds),
+    np_dtype = np.dtype(solver.dtype)
+    # commit the problem and state to the mesh once — the host loop
+    # re-dispatches the chunk program against the same device buffers
+    axis = mesh.axis_names[0]
+    row_sharding = NamedSharding(mesh, P(None, axis))
+    vec_sharding = NamedSharding(mesh, P(axis))
+    row_cols, row_vals, row_mask, col_persons, col_mask = (
+        jax.device_put(x, row_sharding)
+        for x in (row_cols, row_vals, row_mask, col_persons, col_mask)
     )
+    prices = jax.device_put(np.zeros(m_pad, dtype=np_dtype), vec_sharding)
+    p2o = jax.device_put(
+        np.full(n_pad, UNASSIGNED, dtype=np.int32), vec_sharding
+    )
+    o2p = jax.device_put(
+        np.full(m_pad, UNASSIGNED, dtype=np.int32), vec_sharding
+    )
+    dropped = jax.device_put(dropped_init, vec_sharding)
+    nits = np.int32(0)
+    eps_s = np_dtype.type(eps)
+    thr_s = np_dtype.type(threshold)
+    active = solver.num_rows
+    while active > 0 and int(nits) < max_rounds:
+        prices, p2o, o2p, dropped, nits, active_dev = core(
+            row_cols, row_vals, row_mask, col_persons, col_mask,
+            prices, p2o, o2p, dropped, nits, eps_s, thr_s,
+        )
+        active = int(active_dev)
 
     p2o = np.asarray(p2o)[: solver.num_rows]
     o2p = np.asarray(o2p)[: solver.num_cols]
