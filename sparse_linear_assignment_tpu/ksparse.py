@@ -3,8 +3,8 @@
 Re-derivation of the reference `KhoslaSolver`
 (`/root/reference/src/ksparse.rs:73-260`, algorithm of arXiv:2101.07155).
 The reference runs a strictly sequential LIFO stack of bidders; here every
-unassigned person bids each round inside one jitted `lax.while_loop`
-(see `ops/auction.py`).  The auction algorithm is order-insensitive up to
+unassigned person bids each round in jitted synchronous rounds (see
+`ops/auction.py` and the slot-list engine in `ops/compact.py`).  The auction algorithm is order-insensitive up to
 tie-breaking, so the ε-optimality and finite-termination guarantees carry
 over; the specific matching found on instances with non-unique optima may
 legitimately differ from the Rust solver's (as the two reference solvers

@@ -4,8 +4,8 @@ Re-derivation of the reference `ForwardAuctionSolver`
 (`/root/reference/src/symmetric.rs:75-468`, after the sslap package).
 The Jacobi "all unassigned people bid each round" schedule that the
 reference *specifies* (`symmetric.rs:11-12`) but executes sequentially is
-here executed literally, as one jitted `lax.while_loop` round (see
-`ops/auction.py`), with the reference's outer logic intact:
+here executed literally, as jitted synchronous rounds (host-chunked
+scans, see `ops/auction.py`), with the reference's outer logic intact:
 
 - ε-scaling: start at ``C / 2``; on full-but-not-ε-CS assignment multiply
   eps by 0.15 and restart assignments with kept prices
