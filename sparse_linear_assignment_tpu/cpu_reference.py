@@ -10,6 +10,7 @@ Rust crate's semantics and the TPU solvers.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from pathlib import Path
@@ -22,26 +23,44 @@ from .solution import INDEX_DTYPE, UNASSIGNED, AuctionSolution
 _NATIVE_DIR = Path(__file__).parent / "native"
 _SRC = _NATIVE_DIR / "engine.cpp"
 _SO = _NATIVE_DIR / "libslapengine.so"
+_STAMP = _NATIVE_DIR / "libslapengine.hash"
 
 _lib = None
 
 
-def _build() -> None:
+def _src_hash() -> str:
+    return hashlib.sha256(_SRC.read_bytes()).hexdigest()
+
+
+def _build(src_hash: str) -> None:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
         str(_SRC), "-o", str(_SO),
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    _STAMP.write_text(src_hash)
 
 
 def get_lib() -> ctypes.CDLL:
-    """Load (building if needed) the native engine."""
+    """Load (building if needed) the native engine.
+
+    The build is keyed on a content hash of engine.cpp (mtimes do not
+    survive git clones), and the binary is never committed — it is built
+    with ``-march=native`` for the current host, so a foreign-arch copy
+    could SIGILL at call time.  A load failure triggers one rebuild.
+    """
     global _lib
     if _lib is not None:
         return _lib
-    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-        _build()
-    lib = ctypes.CDLL(str(_SO))
+    src_hash = _src_hash()
+    stamp = _STAMP.read_text().strip() if _STAMP.exists() else ""
+    if not _SO.exists() or stamp != src_hash:
+        _build(src_hash)
+    try:
+        lib = ctypes.CDLL(str(_SO))
+    except OSError:
+        _build(src_hash)
+        lib = ctypes.CDLL(str(_SO))
 
     i64 = ctypes.c_int64
     p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")

@@ -104,7 +104,18 @@ class KhoslaSolver(AuctionSolver):
             dtype=self.dtype,
         )
         if compact is None:
-            compact = self.num_rows > self.COMPACT_THRESHOLD or scale_eps
+            # Backend-aware default: on accelerator backends always use
+            # the host-chunked slot-list engine — the `lax.while_loop` +
+            # gather program in `khosla_solve` is a documented compile
+            # bomb on this TPU backend (docs/PERFORMANCE.md item 2) and
+            # is kept as the CPU/vmap reference path only.
+            import jax
+
+            compact = (
+                self.num_rows > self.COMPACT_THRESHOLD
+                or scale_eps
+                or jax.default_backend() != "cpu"
+            )
 
         if hybrid:
             from .hybrid import khosla_solve_hybrid

@@ -1,1 +1,6 @@
-from .sharded import solve_sharded_khosla, sharded_khosla_core
+from .sharded import (
+    sharded_forward_core,
+    sharded_khosla_core,
+    solve_sharded_forward,
+    solve_sharded_khosla,
+)

@@ -188,6 +188,20 @@ def sharded_khosla_core(mesh: Mesh, chunk: int = 16):
     return jax.jit(fn)
 
 
+def _pad_to(x, mult: int, axis_i: int) -> np.ndarray:
+    """Pad axis ``axis_i`` of ``x`` up to a multiple of ``mult``; always
+    returns a host NumPy array so callers can ``device_put`` straight
+    onto the mesh without touching the default backend."""
+    x = np.asarray(x)
+    size = x.shape[axis_i]
+    target = ((size + mult - 1) // mult) * mult
+    if target == size:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis_i] = (0, target - size)
+    return np.pad(x, pad)
+
+
 def solve_sharded_khosla(
     solver: AuctionSolver,
     mesh: Mesh,
@@ -223,20 +237,11 @@ def solve_sharded_khosla(
         dtype=solver.dtype,
     )
 
-    def pad_to(x, mult, axis_i):
-        size = x.shape[axis_i]
-        target = ((size + mult - 1) // mult) * mult
-        if target == size:
-            return x
-        pad = [(0, 0)] * x.ndim
-        pad[axis_i] = (0, target - size)
-        return np.pad(np.asarray(x), pad)
-
-    row_cols = pad_to(problem.row_cols, d, 1)
-    row_vals = pad_to(problem.row_vals, d, 1)
-    row_mask = pad_to(problem.row_mask, d, 1)
-    col_persons = pad_to(problem.col_persons, d, 1)
-    col_mask = pad_to(problem.col_mask, d, 1)
+    row_cols = _pad_to(problem.row_cols, d, 1)
+    row_vals = _pad_to(problem.row_vals, d, 1)
+    row_mask = _pad_to(problem.row_mask, d, 1)
+    col_persons = _pad_to(problem.col_persons, d, 1)
+    col_mask = _pad_to(problem.col_mask, d, 1)
     n_pad = row_cols.shape[1]
     m_pad = col_persons.shape[1]
     dropped_init = np.zeros(n_pad, bool)
@@ -279,4 +284,297 @@ def solve_sharded_khosla(
     solution.object_to_person = o2p.astype(INDEX_DTYPE)
     solution.num_unassigned = int((p2o == UNASSIGNED).sum())
     solution.eps = eps
+    return solution, int(nits)
+
+
+# ----------------------------------------------------------------------
+# Sharded ε-scaling forward auction
+# ----------------------------------------------------------------------
+def _forward_round_body(
+    row_cols, row_vals, row_mask, col_persons, col_mask, person_valid,
+    target_eps, toleration, sfoe, max_iterations, state,
+):
+    """One forward-auction round on this device's shards, including the
+    replicated ε-scaling bookkeeping (TPU re-derivation of the reference
+    outer loop, `symmetric.rs:275-332`, over a device mesh).
+
+    Scalar state (eps, counters, done) is computed from `psum`-reduced
+    quantities only, so every shard carries identical replicas."""
+    (prices_sh, p2o_sh, o2p_sh, eps, nits,
+     nreductions, optimal_found, done) = state
+    axis = "shard"
+    idx = lax.axis_index(axis)
+    n_local = p2o_sh.shape[0]
+    m_local = prices_sh.shape[0]
+
+    # ---- bidding on the local person shard ----
+    prices_full = lax.all_gather(prices_sh, axis, tiled=True)  # [M]
+    profit = jnp.where(
+        row_mask, row_vals - prices_full[row_cols], -jnp.inf
+    )  # [K, N/D]
+    k = profit.shape[0]
+    best = jnp.max(profit, axis=0)
+    k_iota = lax.broadcasted_iota(jnp.int32, profit.shape, 0)
+    best_k = jnp.min(
+        jnp.where(profit == best[None, :], k_iota, jnp.int32(k)), axis=0
+    )
+    sel = k_iota == best_k[None, :]
+    second = jnp.max(jnp.where(sel, -jnp.inf, profit), axis=0)
+    best_col = jnp.max(jnp.where(sel, row_cols, 0), axis=0)
+    best_val = jnp.max(
+        jnp.where(sel, row_vals, jnp.asarray(-jnp.inf, profit.dtype)), axis=0
+    )
+
+    unassigned = (p2o_sh == UNASSIGNED) & person_valid & ~done
+    price_at_best = prices_full[best_col]
+    has_second = second != -jnp.inf
+    # bid rule `symmetric.rs:378`; single-arc persons bid price+eps (the
+    # Khosla guard) instead of +inf — see ops/auction.py:forward_round
+    raw_bid = jnp.where(
+        has_second, best_val - second + eps, price_at_best + eps
+    )
+    bid_l = jnp.where(unassigned & (best != -jnp.inf), raw_bid, -jnp.inf)
+
+    # ---- gather all bids; resolve conflicts on the local object shard ----
+    bid_full = lax.all_gather(bid_l, axis, tiled=True)  # [N]
+    col_full = lax.all_gather(best_col, axis, tiled=True)  # [N]
+
+    obj_gid = m_local * idx + lax.broadcasted_iota(
+        jnp.int32, (col_persons.shape[0], m_local), 1
+    )
+    inc_bid = bid_full[col_persons]
+    inc_tgt = col_full[col_persons]
+    is_here = col_mask & (inc_tgt == obj_gid) & (inc_bid != -jnp.inf)
+    eff = jnp.where(is_here, inc_bid, -jnp.inf)
+    max_bid = jnp.max(eff, axis=0)  # [M/D]
+    has_winner = max_bid != -jnp.inf
+    cand = jnp.where(
+        is_here & (eff >= max_bid[None, :]), col_persons, _INT_MAX
+    )
+    winner_l = jnp.min(cand, axis=0)
+
+    prices_new = jnp.where(
+        has_winner, max_bid.astype(prices_sh.dtype), prices_sh
+    )
+    o2p_new = jnp.where(has_winner, winner_l, o2p_sh)
+
+    # ---- gather winners; update the local person shard ----
+    winner_full = lax.all_gather(winner_l, axis, tiled=True)  # [M]
+    has_winner_full = lax.all_gather(has_winner, axis, tiled=True)
+
+    person_gid = n_local * idx + lax.broadcasted_iota(
+        jnp.int32, (n_local,), 0
+    )
+    bidding = bid_l != -jnp.inf
+    safe_tgt = jnp.where(bidding, best_col, 0)
+    won = bidding & (winner_full[safe_tgt] == person_gid)
+    assigned = p2o_sh != UNASSIGNED
+    safe_cur = jnp.where(assigned, p2o_sh, 0)
+    displaced = assigned & has_winner_full[safe_cur]
+    p2o_new = jnp.where(
+        won, best_col, jnp.where(displaced, _INT_MAX, p2o_sh)
+    )
+
+    nits_new = nits + (~done).astype(jnp.int32)
+    num_unassigned = lax.psum(
+        jnp.sum((p2o_new == UNASSIGNED) & person_valid, dtype=jnp.int32),
+        axis,
+    )
+    fully = (num_unassigned == 0) & ~done
+
+    # ---- ε-CS certificate at the updated prices (`solver.rs:154-189`,
+    # sharded: per-shard violation counts, one psum) ----
+    prices_upd = lax.all_gather(prices_new, axis, tiled=True)  # [M]
+    profit_upd = jnp.where(
+        row_mask, row_vals - prices_upd[row_cols], -jnp.inf
+    )
+    max_profit = jnp.max(profit_upd, axis=0)
+    is_chosen = row_mask & (row_cols == p2o_new[None, :])
+    chosen_val = jnp.max(jnp.where(is_chosen, row_vals, -jnp.inf), axis=0)
+    safe_j = jnp.where(p2o_new != UNASSIGNED, p2o_new, 0)
+    chosen_profit = chosen_val - prices_upd[safe_j]
+    viol_l = jnp.sum(
+        person_valid
+        & (chosen_profit + toleration < max_profit - target_eps),
+        dtype=jnp.int32,
+    )
+    is_optimal = sfoe | (lax.psum(viol_l, axis) == 0)
+
+    # ---- replicated ε-scaling bookkeeping (`symmetric.rs:280-328`) ----
+    stop = is_optimal | (eps < target_eps)
+    reduce = fully & ~stop
+    eps_new = jnp.where(reduce, eps * jnp.asarray(0.15, eps.dtype), eps)
+    # reference semantics: reset assignments, keep prices
+    p2o_out = jnp.where(reduce, _INT_MAX, p2o_new)
+    o2p_out = jnp.where(reduce, _INT_MAX, o2p_new)
+    nreductions_new = nreductions + reduce.astype(jnp.int32)
+    optimal_new = optimal_found | (fully & is_optimal)
+    done_new = done | (fully & stop) | (nits_new >= max_iterations)
+    return (
+        prices_new, p2o_out, o2p_out, eps_new, nits_new,
+        nreductions_new, optimal_new, done_new,
+    )
+
+
+def _sharded_forward_chunk_shardmap(
+    row_cols, row_vals, row_mask, col_persons, col_mask, person_valid,
+    prices, p2o, o2p, eps, nits, nreductions, optimal_found, done,
+    target_eps, toleration, sfoe, max_iterations, chunk,
+):
+    state = (prices, p2o, o2p, eps, nits, nreductions, optimal_found, done)
+
+    def body(s, _):
+        return (
+            _forward_round_body(
+                row_cols, row_vals, row_mask, col_persons, col_mask,
+                person_valid, target_eps, toleration, sfoe,
+                max_iterations, s,
+            ),
+            None,
+        )
+
+    state, _ = lax.scan(body, state, None, length=chunk)
+    return state
+
+
+@functools.lru_cache(maxsize=8)
+def sharded_forward_core(mesh: Mesh, chunk: int = 16):
+    """Build the jitted multi-device forward-auction chunk program for
+    ``mesh`` (1-D, axis ``"shard"``)."""
+    axis = mesh.axis_names[0]
+
+    fn = jax.shard_map(
+        functools.partial(_sharded_forward_chunk_shardmap, chunk=chunk),
+        mesh=mesh,
+        in_specs=(
+            P(None, axis),  # row_cols
+            P(None, axis),  # row_vals
+            P(None, axis),  # row_mask
+            P(None, axis),  # col_persons
+            P(None, axis),  # col_mask
+            P(axis),        # person_valid
+            P(axis),        # prices
+            P(axis),        # p2o
+            P(axis),        # o2p
+            P(),            # eps
+            P(),            # nits
+            P(),            # nreductions
+            P(),            # optimal_found
+            P(),            # done
+            P(),            # target_eps
+            P(),            # toleration
+            P(),            # sfoe
+            P(),            # max_iterations
+        ),
+        out_specs=(
+            P(axis), P(axis), P(axis), P(), P(), P(), P(), P(),
+        ),
+    )
+    return jax.jit(fn)
+
+
+def solve_sharded_forward(
+    solver: AuctionSolver,
+    mesh: Mesh,
+    eps: float | None = None,
+    maximize: bool = False,
+    start_eps: float | None = None,
+    max_iterations: int = 100_000,
+):
+    """Solve ``solver``'s current instance with the ε-scaling forward
+    auction sharded over ``mesh``.
+
+    Semantics match the single-device chunked solver (`symmetric.py`):
+    target eps defaults to ``1/num_rows`` (`symmetric.rs:231-235`), start
+    eps to ``C/2`` on symmetric instances, asymmetric instances disable
+    scaling (`symmetric.rs:256-267`), ``max_iterations`` cuts off
+    infeasible instances.  Returns ``(solution, nits)``; the solver's
+    ``nreductions`` / ``optimal_soln_found`` attributes are set when
+    present.
+    """
+    from ..ops.padded import build_padded_problem
+    from ..solution import AuctionSolution
+
+    d = int(np.prod(mesh.devices.shape))
+    solution = AuctionSolution.new()
+    solver.validate_input()
+    solver.init_solve(solution, maximize)
+
+    target_eps = (
+        float(eps) if eps is not None else 1.0 / float(solver.num_rows)
+    )
+    values = solver.values
+    c = float(np.abs(values).max()) if values.size else 0.0
+    toleration = solver.get_toleration(c)
+    sfoe = start_eps is not None and start_eps < target_eps
+    if solver.num_rows != solver.num_cols:
+        sfoe = True
+        eps0 = target_eps - float(np.finfo(np.float64).eps)
+    else:
+        eps0 = float(start_eps) if start_eps is not None else c / 2.0
+
+    problem = build_padded_problem(
+        solver.num_rows, solver.num_cols,
+        solver.j_counts, solver.column_indices, values,
+        dtype=solver.dtype,
+    )
+    row_cols = _pad_to(problem.row_cols, d, 1)
+    row_vals = _pad_to(problem.row_vals, d, 1)
+    row_mask = _pad_to(problem.row_mask, d, 1)
+    col_persons = _pad_to(problem.col_persons, d, 1)
+    col_mask = _pad_to(problem.col_mask, d, 1)
+    n_pad = row_cols.shape[1]
+    m_pad = col_persons.shape[1]
+    person_valid_h = np.zeros(n_pad, bool)
+    person_valid_h[: solver.num_rows] = True
+
+    core = sharded_forward_core(mesh)
+    np_dtype = np.dtype(solver.dtype)
+    axis = mesh.axis_names[0]
+    row_sharding = NamedSharding(mesh, P(None, axis))
+    vec_sharding = NamedSharding(mesh, P(axis))
+    row_cols, row_vals, row_mask, col_persons, col_mask = (
+        jax.device_put(x, row_sharding)
+        for x in (row_cols, row_vals, row_mask, col_persons, col_mask)
+    )
+    person_valid = jax.device_put(person_valid_h, vec_sharding)
+    prices = jax.device_put(np.zeros(m_pad, dtype=np_dtype), vec_sharding)
+    p2o = jax.device_put(
+        np.full(n_pad, UNASSIGNED, dtype=np.int32), vec_sharding
+    )
+    o2p = jax.device_put(
+        np.full(m_pad, UNASSIGNED, dtype=np.int32), vec_sharding
+    )
+    eps_s = jnp.asarray(np_dtype.type(eps0))
+    nits = jnp.asarray(np.int32(0))
+    nreductions = jnp.asarray(np.int32(0))
+    optimal_found = jnp.asarray(False)
+    done = jnp.asarray(False)
+    target_s = np_dtype.type(target_eps)
+    tol_s = np_dtype.type(toleration)
+    sfoe_s = np.bool_(sfoe)
+    maxit_s = np.int32(max_iterations)
+
+    while not bool(done):
+        (prices, p2o, o2p, eps_s, nits,
+         nreductions, optimal_found, done) = core(
+            row_cols, row_vals, row_mask, col_persons, col_mask,
+            person_valid, prices, p2o, o2p, eps_s, nits,
+            nreductions, optimal_found, done,
+            target_s, tol_s, sfoe_s, maxit_s,
+        )
+
+    p2o = np.asarray(p2o)[: solver.num_rows]
+    o2p = np.asarray(o2p)[: solver.num_cols]
+    solver.prices = np.asarray(prices, dtype=np.float64)[: solver.num_cols]
+    solution.person_to_object = p2o.astype(INDEX_DTYPE)
+    solution.object_to_person = o2p.astype(INDEX_DTYPE)
+    solution.num_unassigned = int((p2o == UNASSIGNED).sum())
+    solution.eps = float(eps_s)
+    if hasattr(solver, "nreductions"):
+        solver.nreductions = int(nreductions)
+    if hasattr(solver, "optimal_soln_found"):
+        solver.optimal_soln_found = bool(optimal_found)
+    if hasattr(solver, "nits"):
+        solver.nits = int(nits)
     return solution, int(nits)

@@ -8,7 +8,8 @@ built host-side in NumPy with the exact validation contract of the reference
 row starts, ``num_rows <= num_cols``).  The evaluators (`get_objective`,
 `get_toleration`, `ecs_satisfied`) are vectorized NumPy equivalents of the
 reference's sequential loops; the device-side (jit) versions used inside the
-solve loop live in ``ops/evaluate.py``.
+solve loop live in ``ops/auction.py`` (``ecs_margins`` /
+``ecs_satisfied_device``).
 """
 
 from __future__ import annotations

@@ -55,3 +55,91 @@ def test_sharded_padding_sizes():
     assert len(sol.person_to_object) == num_rows
     assert len(sol.object_to_person) == num_cols
     assert sol.num_unassigned == 0
+
+
+# ----------------------------------------------------------------------
+# sharded ε-scaling forward auction
+# ----------------------------------------------------------------------
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_forward_symmetric(n_devices):
+    from sparse_linear_assignment_tpu import ForwardAuctionSolver
+    from sparse_linear_assignment_tpu.parallel import solve_sharded_forward
+
+    n = 64
+    rng = np.random.default_rng(11)
+    costs = rng.integers(1, 100, size=(n, n)).astype(np.float64)
+    solver, _ = ForwardAuctionSolver.new(n, n, n * n)
+    solver.init(n, n)
+    for i in range(n):
+        solver.extend_from_values(i, range(n), costs[i])
+
+    mesh = make_mesh(n_devices)
+    sol, nits = solve_sharded_forward(solver, mesh)
+    assert sol.num_unassigned == 0
+    assert nits > 0
+    assert solver.optimal_soln_found
+
+    # integer costs + eps-scaling to eps < 1/n => exact optimum
+    r, c = linear_sum_assignment(costs)
+    want = float(costs[r, c].sum())
+    got = solver.get_objective(sol)
+    assert abs(got - want) < 1e-9
+
+    # certificate at the achieved eps
+    assert solver.ecs_satisfied(
+        sol.person_to_object, sol.eps, solver.get_toleration(99.0)
+    )
+    for i, j in enumerate(sol.person_to_object):
+        assert sol.object_to_person[j] == i
+
+
+def test_sharded_forward_asymmetric_and_padding():
+    from sparse_linear_assignment_tpu import ForwardAuctionSolver
+    from sparse_linear_assignment_tpu.generators import gen_ksparse_uniform
+    from sparse_linear_assignment_tpu.parallel import solve_sharded_forward
+
+    # asymmetric (scaling disabled, `symmetric.rs:256-267`) with sizes
+    # that do NOT divide the mesh
+    num_rows, num_cols, k = 13, 29, 5
+    solver, _ = ForwardAuctionSolver.new(num_rows, num_cols, num_rows * k)
+    gen_ksparse_uniform(solver, 6, num_rows, num_cols, k, max_value=10.0)
+    mesh = make_mesh(8)
+    sol, nits = solve_sharded_forward(solver, mesh)
+    assert len(sol.person_to_object) == num_rows
+    assert len(sol.object_to_person) == num_cols
+    assert sol.num_unassigned == 0
+    assert nits > 0
+
+    mat = dense_cost_matrix(solver, big=1e9)
+    if solver.values[0] < 0:
+        mat = np.where(np.abs(mat) < 1e9, -mat, mat)
+    r, c = linear_sum_assignment(mat)
+    want = float(mat[r, c].sum())
+    got = solver.get_objective(sol)
+    assert want - 1e-9 <= got <= want + num_rows * sol.eps + 1e-9
+
+
+def test_sharded_forward_matches_single_device_objective():
+    from sparse_linear_assignment_tpu import ForwardAuctionSolver
+    from sparse_linear_assignment_tpu.parallel import solve_sharded_forward
+
+    n = 32
+    rng = np.random.default_rng(3)
+    costs = rng.integers(1, 50, size=(n, n)).astype(np.float64)
+
+    solver1, solution1 = ForwardAuctionSolver.new(n, n, n * n)
+    solver1.init(n, n)
+    for i in range(n):
+        solver1.extend_from_values(i, range(n), costs[i])
+    solver1.solve(solution1, maximize=False)
+    obj1 = solver1.get_objective(solution1)
+
+    solver2, _ = ForwardAuctionSolver.new(n, n, n * n)
+    solver2.init(n, n)
+    for i in range(n):
+        solver2.extend_from_values(i, range(n), costs[i])
+    sol2, _ = solve_sharded_forward(solver2, make_mesh(8))
+    obj2 = solver2.get_objective(sol2)
+
+    # both reach the exact optimum on integer costs
+    assert abs(obj1 - obj2) < 1e-9
