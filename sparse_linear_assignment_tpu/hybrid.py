@@ -54,9 +54,11 @@ def khosla_solve_hybrid(
     reduction_factor: float = 0.125,
     tail_threshold: int = 65536,
     chunk: int = 8,
+    start_prices=None,
 ):
     """Solve with TPU bulk rounds + native chain tails.
 
+    ``start_prices`` warm-starts the price vector (SURVEY.md §5.4).
     Returns ``(prices_f64, p2o, o2p, dropped, tpu_rounds, cpu_pops)``
     with the package's ``UNASSIGNED`` sentinel in the assignment arrays.
     """
@@ -76,7 +78,10 @@ def khosla_solve_hybrid(
     ladder.append(eps_target)
 
     # host-side state in the native engine's convention (-1 = unassigned)
-    prices64 = np.zeros(m, dtype=np.float64)
+    prices64 = (
+        np.zeros(m, dtype=np.float64) if start_prices is None
+        else np.array(start_prices, dtype=np.float64)
+    )
     p2o = np.full(n, -1, dtype=np.int32)
     o2p = np.full(m, -1, dtype=np.int32)
     dropped = np.zeros(n, dtype=np.uint8)

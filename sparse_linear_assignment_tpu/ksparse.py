@@ -35,6 +35,7 @@ import numpy as _np
 from .ops.auction import khosla_solve
 from .ops.compact import khosla_solve_compact, khosla_solve_scaled
 from .ops.padded import build_padded_problem
+from .solution import UNASSIGNED as _UNASSIGNED
 from .solution import AuctionSolution
 from .solver import AuctionSolver
 
@@ -65,6 +66,7 @@ class KhoslaSolver(AuctionSolver):
         scale_eps: bool = False,
         compact: Optional[bool] = None,
         hybrid: bool = False,
+        start_prices=None,
     ) -> None:
         """Solve the current problem instance (`ksparse.rs:153-251`).
 
@@ -77,10 +79,17 @@ class KhoslaSolver(AuctionSolver):
           (same final ε-optimality certificate, orders of magnitude
           fewer bids on large instances; see ops/compact.py).
         - ``compact`` — use the active-set-compacted engine (auto:
-          enabled for instances above ``COMPACT_THRESHOLD`` rows).
+          enabled for instances above ``COMPACT_THRESHOLD`` rows and
+          on accelerator backends).
         - ``hybrid`` — heterogeneous performance mode: TPU bulk rounds +
           native C++ chain tails (see hybrid.py); combine with
           ``scale_eps=True`` for large symmetric instances.
+        - ``start_prices`` — warm-start the price vector, e.g. with
+          ``solver.prices`` from a previous solve of a similar instance
+          with the same ``maximize`` (the TPU equivalent of the
+          reference's price persistence across ε-restarts,
+          `symmetric.rs:290-324`; SURVEY.md §5.4).  Any start prices
+          preserve the ε-CS certificate of the returned matching.
         """
         self.validate_input()
         self.init_solve(solution, maximize)
@@ -116,6 +125,13 @@ class KhoslaSolver(AuctionSolver):
                 or scale_eps
                 or jax.default_backend() != "cpu"
             )
+        if start_prices is not None:
+            start_prices = np.asarray(start_prices, dtype=np.float64)
+            if start_prices.shape != (self.num_cols,):
+                raise ValueError(
+                    f"start_prices must have shape ({self.num_cols},)"
+                )
+            compact = compact or not hybrid  # while_loop path has no warm entry
 
         if hybrid:
             from .hybrid import khosla_solve_hybrid
@@ -128,6 +144,7 @@ class KhoslaSolver(AuctionSolver):
                     self.num_rows, self.num_cols, starts,
                     self.column_indices, values, problem,
                     eps, w_min, w_max, scale=scale_eps,
+                    start_prices=start_prices,
                 )
             )
             self.prices = prices
@@ -140,15 +157,32 @@ class KhoslaSolver(AuctionSolver):
             return
         if scale_eps:
             state, nits = khosla_solve_scaled(
-                problem, eps, w_min, w_max, max_rounds=max_rounds
+                problem, eps, w_min, w_max, max_rounds=max_rounds,
+                start_prices=start_prices,
             )
             prices, p2o, o2p = state.prices, state.p2o, state.o2p
             num_unassigned = int(
                 (_np.asarray(p2o) == _np.iinfo(_np.int32).max).sum()
             )
         elif compact:
+            init_state = None
+            if start_prices is not None:
+                from .ops.compact import LState
+                import jax.numpy as jnp
+
+                init_state = LState(
+                    prices=jnp.asarray(
+                        start_prices.astype(np.dtype(self.dtype))
+                    ),
+                    p2o=jnp.full(self.num_rows, jnp.int32(_UNASSIGNED)),
+                    o2p=jnp.full(self.num_cols, jnp.int32(_UNASSIGNED)),
+                    dropped=jnp.zeros(self.num_rows, bool),
+                    slots=jnp.arange(self.num_rows, dtype=jnp.int32),
+                    nits=jnp.zeros((), jnp.int32),
+                )
             state = khosla_solve_compact(
-                problem, eps, price_threshold, max_rounds=max_rounds
+                problem, eps, price_threshold, max_rounds=max_rounds,
+                init_state=init_state,
             )
             prices, p2o, o2p = state.prices, state.p2o, state.o2p
             nits = int(state.nits)

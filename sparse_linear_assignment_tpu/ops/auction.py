@@ -552,15 +552,24 @@ def forward_solve_chunked(
     start_from_optimal_eps,
     max_iterations,
     chunk: int = 64,
+    start_prices=None,
 ):
     """Host-driven forward solve: same semantics and return values as
-    :func:`forward_solve`, structured as chunks of fixed-length scans."""
+    :func:`forward_solve`, structured as chunks of fixed-length scans.
+
+    ``start_prices`` warm-starts the price vector (the reference's price
+    persistence across ε-restarts, `symmetric.rs:290-324`, exposed as an
+    argument — SURVEY.md §5.4); ε-CS optimality at termination holds for
+    any start prices on instances reaching a complete assignment."""
     dtype = problem.dtype
     np_dtype = np.dtype(dtype)
     n = problem.num_rows
     m = problem.num_cols
     init = ForwardState(
-        prices=jnp.zeros(m, dtype),
+        prices=(
+            jnp.zeros(m, dtype) if start_prices is None
+            else jnp.asarray(np.asarray(start_prices, dtype=np_dtype))
+        ),
         p2o=jnp.full(n, _INT_MAX, jnp.int32),
         o2p=jnp.full(m, _INT_MAX, jnp.int32),
         eps=jnp.asarray(np_dtype.type(start_eps)),

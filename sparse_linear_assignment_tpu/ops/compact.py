@@ -238,6 +238,7 @@ def khosla_solve_scaled(
     start_eps: Optional[float] = None,
     chunk: int = 64,
     max_rounds: int = 10_000_000,
+    start_prices=None,
 ):
     """ε-scaling ladder around the slot-list Khosla solve (extension).
 
@@ -258,6 +259,7 @@ def khosla_solve_scaled(
     """
     n = problem.num_rows
     m = problem.num_cols
+    dtype = np.dtype(problem.dtype)
     span = w_max - w_min
     if n != m:
         eps = eps_target
@@ -274,10 +276,22 @@ def khosla_solve_scaled(
     ladder.append(eps_target)
 
     state = None
+    if start_prices is not None:
+        # warm-started prices (the TPU equivalent of the reference's
+        # price persistence across restarts, `symmetric.rs:290-324`,
+        # exposed as a solve argument — SURVEY.md §5.4)
+        state = LState(
+            prices=jnp.asarray(np.asarray(start_prices, dtype=dtype)),
+            p2o=jnp.full(n, _INT_MAX, jnp.int32),
+            o2p=jnp.full(m, _INT_MAX, jnp.int32),
+            dropped=jnp.zeros(n, bool),
+            slots=jnp.arange(n, dtype=jnp.int32),
+            nits=jnp.zeros((), jnp.int32),
+        )
     total_rounds = 0
-    for phase_eps in ladder:
+    for phase_i, phase_eps in enumerate(ladder):
         threshold = (m / 2.0) * (span + phase_eps)
-        if state is not None:
+        if phase_i > 0:
             # keep prices, reset assignments (fresh phase at lower eps)
             state = LState(
                 prices=state.prices,

@@ -69,8 +69,15 @@ class ForwardAuctionSolver(AuctionSolver):
         eps: Optional[float] = None,
         start_eps: Optional[float] = None,
         max_iterations: Optional[int] = None,
+        start_prices=None,
     ) -> None:
-        """Full-parameter solve (`symmetric.rs:218-332`)."""
+        """Full-parameter solve (`symmetric.rs:218-332`).
+
+        ``start_prices`` (extension, SURVEY.md §5.4) warm-starts the
+        price vector — e.g. with ``solver.prices`` from a previous
+        solve of a similar instance with the same ``maximize``; the
+        ε-CS certificate of the result is unaffected by start prices.
+        """
         self.validate_input()
         self.init_solve(solution, maximize)
 
@@ -104,6 +111,12 @@ class ForwardAuctionSolver(AuctionSolver):
             values,
             dtype=self.dtype,
         )
+        if start_prices is not None:
+            start_prices = np.asarray(start_prices, dtype=np.float64)
+            if start_prices.shape != (self.num_cols,):
+                raise ValueError(
+                    f"start_prices must have shape ({self.num_cols},)"
+                )
         (
             prices,
             p2o,
@@ -120,6 +133,7 @@ class ForwardAuctionSolver(AuctionSolver):
             toleration,
             start_from_optimal_eps,
             self.max_iterations,
+            start_prices=start_prices,
         )
         self.prices = np.asarray(prices, dtype=np.float64)
         solution.person_to_object = np.asarray(p2o)

@@ -1,0 +1,98 @@
+"""Warm-started prices on the public solve surface (SURVEY.md §5.4).
+
+The reference persists prices across ε-reduction restarts inside one
+solve (`symmetric.rs:290-324`); the TPU framework additionally exposes
+them as a solve argument so repeated solves of similar instances reuse
+the dual information.  ε-CS optimality at termination holds for any
+start prices, so the assertions here are oracle-checked objectives plus
+the round-count saving.
+"""
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+from sparse_linear_assignment_tpu import ForwardAuctionSolver, KhoslaSolver
+from sparse_linear_assignment_tpu.generators import (
+    dense_cost_matrix,
+    gen_symmetric_input,
+)
+
+
+def _oracle_bounds(solver, solution):
+    mat = dense_cost_matrix(solver, big=1e9)
+    if solver.values[0] < 0:
+        mat = np.where(np.abs(mat) < 1e9, -mat, mat)
+    r, c = linear_sum_assignment(mat)
+    want = float(mat[r, c].sum())
+    got = solver.get_objective(solution)
+    n = solver.num_rows
+    assert want - 1e-9 <= got <= want + n * solution.eps + 1e-9, (want, got)
+
+
+def test_khosla_warmstart_same_instance_fewer_rounds():
+    n = 256
+    solver, solution = KhoslaSolver.new(n, n, 20 * n)
+    gen_symmetric_input(solver, 21, n, 0.05, 0.0, 10.0)
+    solver.solve(solution, maximize=False, compact=True)
+    cold_nits = solver.nits
+    assert solution.num_unassigned == 0
+    _oracle_bounds(solver, solution)
+    warm_prices = solver.prices.copy()
+
+    solver.solve(
+        solution, maximize=False, compact=True, start_prices=warm_prices
+    )
+    assert solution.num_unassigned == 0
+    _oracle_bounds(solver, solution)
+    # warm duals make the re-solve much cheaper
+    assert solver.nits <= cold_nits
+
+
+def test_khosla_warmstart_scaled_path():
+    n = 128
+    solver, solution = KhoslaSolver.new(n, n, 20 * n)
+    gen_symmetric_input(solver, 4, n, 0.1, 0.0, 10.0)
+    solver.solve(solution, maximize=False, scale_eps=True)
+    _oracle_bounds(solver, solution)
+    warm = solver.prices.copy()
+    solver.solve(
+        solution, maximize=False, scale_eps=True, start_prices=warm
+    )
+    assert solution.num_unassigned == 0
+    _oracle_bounds(solver, solution)
+
+
+def test_forward_warmstart():
+    n = 64
+    rng = np.random.default_rng(13)
+    costs = rng.integers(1, 100, size=(n, n)).astype(np.float64)
+    solver, solution = ForwardAuctionSolver.new(n, n, n * n)
+    solver.init(n, n)
+    for i in range(n):
+        solver.extend_from_values(i, range(n), costs[i])
+    solver.solve(solution, maximize=False)
+    cold_nits = solver.nits
+    obj_cold = solver.get_objective(solution)
+    warm = solver.prices.copy()
+
+    # warm re-solve: skip the ladder by starting at the target eps
+    solver.solve_with_params(
+        solution, maximize=False, start_eps=0.5 / n, start_prices=warm
+    )
+    assert solution.num_unassigned == 0
+    obj_warm = solver.get_objective(solution)
+    # integer costs, eps < 1/n on both: exact optimum both times
+    assert abs(obj_cold - obj_warm) < 1e-9
+    assert solver.nits < cold_nits
+
+
+def test_khosla_warmstart_shape_validation():
+    n = 16
+    solver, solution = KhoslaSolver.new(n, n, 4 * n)
+    gen_symmetric_input(solver, 2, n, 0.5, 0.0, 10.0)
+    try:
+        solver.solve(solution, start_prices=np.zeros(n + 1))
+    except ValueError as e:
+        assert "start_prices" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
