@@ -31,6 +31,7 @@ from .ops.auction import (
     khosla_round,
 )
 from .ops.dense import DenseProblem
+from .ops.fr_dense import FRState, fr_round
 from .solution import UNASSIGNED
 
 _INT_MAX = jnp.int32(UNASSIGNED)
@@ -114,6 +115,223 @@ def _batch_chunk(
 
         states = jax.vmap(one)(values_t, states)
         return states, jnp.all(states.done)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iterations", "chunk", "sfoe")
+)
+def _batch_chunk_fr(
+    values_t,  # [B, M, N]
+    states: FRState,
+    target_eps,
+    toleration,
+    max_iterations: int,
+    chunk: int,
+    sfoe: bool,
+):
+    """Run ``chunk`` forward-reverse rounds of every instance (vmapped
+    scan).  Same host-chunked structure as ``_batch_chunk``.  ``sfoe``:
+    the batch started at the target eps, so the per-round certificate
+    passes are skipped (full assignment == certificate)."""
+
+    def one(vals_t, state):
+        def body(s, _):
+            return (
+                fr_round(
+                    vals_t, s, target_eps, toleration,
+                    jnp.asarray(max_iterations, jnp.int32),
+                    skip_certificate=sfoe,
+                ),
+                None,
+            )
+
+        state, _ = lax.scan(body, state, None, length=chunk)
+        return state
+
+    states = jax.vmap(one)(values_t, states)
+    return states, jnp.all(states.done)
+
+
+@jax.jit
+def _fr_batch_init(values_t, start_eps):
+    """Jitted batched-state construction (op-by-op inits cost seconds of
+    remote-AOT dispatch on this backend; one compiled program is ~ms)."""
+    b, m, n = values_t.shape
+    dtype = values_t.dtype
+    return FRState(
+        prices=jnp.zeros((b, m), dtype),
+        profits=jnp.max(values_t, axis=1),
+        p2o=jnp.full((b, n), _INT_MAX, jnp.int32),
+        o2p=jnp.full((b, m), _INT_MAX, jnp.int32),
+        eps=start_eps.astype(dtype),
+        forward_mode=jnp.ones((b,), bool),
+        nits=jnp.zeros((b,), jnp.int32),
+        nreductions=jnp.zeros((b,), jnp.int32),
+        optimal_found=jnp.zeros((b,), bool),
+        done=jnp.zeros((b,), bool),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("negate",))
+def _stage_values_t(costs_dev, negate: bool):
+    """Device-side staging: sign-adjust and transpose to the [B, M, N]
+    round layout (host-side transposes of 100+ MB cost seconds)."""
+    x = -costs_dev if negate else costs_dev
+    return jnp.swapaxes(x, 1, 2)
+
+
+@jax.jit
+def _fr_compact(values_t, states: FRState, perm):
+    """Gather the unfinished instances into a smaller bucket.  One
+    compiled program per (in_b, out_b) pair — shape-varying gathers
+    issued op-by-op cost a fresh remote-AOT compile *every call* on
+    this backend (several seconds each), jitted they compile once."""
+    vt = values_t[perm]
+    return vt, jax.tree_util.tree_map(lambda x: x[perm], states)
+
+
+def _cpu_tail_forward(work_row, target_eps, max_iterations):
+    """Finish one dense instance sequentially on the native C++ engine
+    (reference ε-scaling forward semantics).  ``work_row [N, M]`` is the
+    sign-adjusted max-profit value matrix.  Returns (p2o, nits)."""
+    import ctypes
+
+    from .cpu_reference import get_lib
+
+    lib = get_lib()
+    n, m = work_row.shape
+    starts = np.arange(n + 1, dtype=np.int64) * m
+    cols = np.tile(np.arange(m, dtype=np.int32), n)
+    vals = np.ascontiguousarray(work_row.reshape(-1), dtype=np.float64)
+    p2o = np.empty(n, dtype=np.int32)
+    o2p = np.empty(m, dtype=np.int32)
+    prices = np.empty(m, dtype=np.float64)
+    nits = ctypes.c_int64(0)
+    nreductions = ctypes.c_int64(0)
+    optimal = ctypes.c_int32(0)
+    final_eps = ctypes.c_double(0.0)
+    rc = lib.slap_forward_solve(
+        n, m, starts, cols, vals, float(target_eps), -1.0,
+        int(max_iterations), p2o, o2p, prices,
+        ctypes.byref(nits), ctypes.byref(nreductions),
+        ctypes.byref(optimal), ctypes.byref(final_eps),
+    )
+    assert rc == 0
+    p2o = np.where(p2o < 0, UNASSIGNED, p2o).astype(np.int32)
+    o2p = np.where(o2p < 0, UNASSIGNED, o2p).astype(np.int32)
+    return p2o, o2p, int(nits.value)
+
+
+def _solve_batch_fr(
+    values_t, work_host, target_eps, toleration, start_eps,
+    max_iterations: int, n: int, m: int,
+    chunk: int = 32, min_bucket: int = 32,
+    tail_count: int = 48, tail_rounds: int = 192,
+):
+    """Forward-reverse batch driver with straggler compaction and a
+    native-CPU tail.
+
+    Lockstep vmapped rounds run until the *slowest* instance finishes;
+    the measured round distribution is heavy-tailed (median ~0.6×, max
+    ~13× the mean at 512×256×256).  Two mitigations:
+
+    - after each chunk the batch is compacted to the unfinished
+      instances in power-of-2 buckets (finished results saved host-side
+      from full-array readbacks; filler slots hold finished rows whose
+      rounds are no-ops);
+    - once ≤ ``tail_count`` stragglers remain after ``tail_rounds``
+      rounds, they are finished *sequentially on the native C++ engine*
+      (``work_host`` rows; ~ms per 256×256 instance, GIL released so
+      instances run on all host cores) — the batch analogue of the
+      hybrid solver's TPU-bulk + CPU-chain-tail split (hybrid.py).
+      Skipped when ``work_host`` is None (device-only input).
+    """
+    b, m_, n_ = values_t.shape
+    dtype = values_t.dtype
+    np_dtype = np.dtype(dtype)
+    target_eps = np_dtype.type(target_eps)
+    toleration = np_dtype.type(toleration)
+    start_eps = jnp.asarray(np.asarray(start_eps), dtype)
+    sfoe = bool(np.all(np.asarray(start_eps) <= target_eps))
+
+    out_p2o = np.empty((b, n), np.int32)
+    out_o2p = np.empty((b, m), np.int32)
+    out_eps = np.empty(b, np.float64)
+    out_nits = np.empty(b, np.int32)
+    orig = np.arange(b)
+
+    states = _fr_batch_init(values_t, start_eps)
+
+    def save_rows(rows):
+        """Read back the full (bucket-sized, fixed-shape) state and
+        store the given slot rows host-side."""
+        out_p2o[orig[rows]] = np.asarray(states.p2o)[rows]
+        out_o2p[orig[rows]] = np.asarray(states.o2p)[rows]
+        out_eps[orig[rows]] = np.asarray(states.eps)[rows]
+        out_nits[orig[rows]] = np.asarray(states.nits)[rows]
+
+    cur_b = b
+    rounds = 0
+    undone = None
+    while True:
+        # small buckets are dispatch-floor-bound: amortize with longer
+        # chunks
+        level_chunk = chunk if cur_b >= 128 else 4 * chunk
+        states, alldone = _batch_chunk_fr(
+            values_t, states, target_eps, toleration,
+            max_iterations, level_chunk, sfoe,
+        )
+        rounds += level_chunk
+        if bool(alldone) or rounds >= max_iterations:
+            undone = None
+            break
+        done_mask = np.asarray(states.done)
+        undone = np.nonzero(~done_mask)[0]
+        n_undone = len(undone)
+        if (
+            work_host is not None
+            and rounds >= tail_rounds
+            and n_undone <= tail_count
+        ):
+            break  # finish the stragglers on the CPU
+        target_b = max(min_bucket, 1 << (n_undone - 1).bit_length())
+        if target_b <= cur_b // 2:
+            fin = np.nonzero(done_mask)[0]
+            save_rows(fin)
+            pad = target_b - n_undone
+            perm = np.concatenate([undone, fin[:pad]]) if pad else undone
+            orig = orig[perm]
+            values_t, states = _fr_compact(
+                values_t, states, jnp.asarray(perm)
+            )
+            cur_b = target_b
+
+    if undone is not None and len(undone):
+        # native sequential tail: each straggler is a small independent
+        # instance; ctypes releases the GIL, so thread across host cores
+        from concurrent.futures import ThreadPoolExecutor
+
+        done_rows = np.nonzero(np.asarray(states.done))[0]
+        save_rows(done_rows)
+        rows_orig = orig[undone]
+
+        def finish(i_orig):
+            p2o_i, o2p_i, _ = _cpu_tail_forward(
+                work_host[i_orig], target_eps, max_iterations
+            )
+            return i_orig, p2o_i, o2p_i
+
+        with ThreadPoolExecutor(max_workers=min(16, len(rows_orig))) as ex:
+            for i_orig, p2o_i, o2p_i in ex.map(finish, rows_orig):
+                out_p2o[i_orig] = p2o_i
+                out_o2p[i_orig] = o2p_i
+                out_eps[i_orig] = float(target_eps)
+                out_nits[i_orig] = rounds
+    else:
+        save_rows(np.arange(cur_b))
+
+    num_unassigned = (out_p2o == UNASSIGNED).sum(axis=1).astype(np.int32)
+    return out_p2o, out_o2p, num_unassigned, out_eps, out_nits
 
 
 @functools.partial(
@@ -220,11 +438,17 @@ def _pallas_usable(solver: str, n: int, m: int, dtype) -> bool:
 def _solve_batch_dense(
     values_t, eps, target_eps, toleration, thresholds,
     solver: str, max_iterations: int, n: int, m: int, chunk: int = 64,
+    work_host=None,
 ):
     b = values_t.shape[0]
     dtype = values_t.dtype
     np_dtype = np.dtype(dtype)
     eps = np_dtype.type(eps)
+    if solver == "fr":
+        return _solve_batch_fr(
+            values_t, work_host, target_eps, toleration, thresholds,
+            max_iterations, n, m,
+        )
     target_eps = np_dtype.type(target_eps)
     toleration = np_dtype.type(toleration)
     thresholds = jnp.asarray(np.asarray(thresholds), dtype)
@@ -290,15 +514,27 @@ def solve_batch(
     dtype=np.float32,
     max_iterations: int = 100_000,
     start_eps_divisor: float = 128.0,
+    costs_device=None,
 ) -> BatchSolution:
     """Solve a batch of dense LAP instances ``costs[B, N, M]`` (N <= M).
 
     Parameters mirror the single-instance ``solve`` (`solver.rs:15-20`):
     ``eps`` defaults to ``1/M`` for the Khosla engine (`ksparse.rs:164-168`)
-    and ``1/N`` target for the forward engine (`symmetric.rs:231-235`).
+    and ``1/N`` target for the forward and fr engines
+    (`symmetric.rs:231-235`).
+    ``solver``: ``"forward"`` (Jacobi forward auction with ε-scaling,
+    reference semantics), ``"fr"`` (combined forward-reverse auction,
+    ``ops/fr_dense.py`` — same ε-CS certificate, far fewer rounds on
+    symmetric instances; falls back to forward when N != M), or
+    ``"khosla"``.
     ``dtype`` defaults to float32 — the TPU fast path; use float64 when the
     cost range demands it (eps below ~1 ulp of the largest cost stalls in
     float32).
+    ``costs_device``: optionally a device-resident ``[B, N, M]`` array
+    with the same contents as ``costs`` — skips the host→device
+    transfer (stage batches ahead of time to overlap transfer with
+    compute; mirrors the reference bench's setup/measure split,
+    `benchmark.rs:111-125`).
     """
     costs = np.asarray(costs)
     if costs.ndim != 3:
@@ -306,12 +542,27 @@ def solve_batch(
     b, n, m = costs.shape
     if n > m:
         raise ValueError("num_rows must be <= num_cols")
+    if solver == "fr" and n != m:
+        # reverse bidding requires every object to be matchable; the
+        # forward-only engine covers asymmetric instances (the same
+        # restriction the reference puts on ε-scaling,
+        # `symmetric.rs:256-267`)
+        solver = "forward"
 
-    # internal convention: always maximize profit
+    # internal convention: always maximize profit.  Host work stays in
+    # [B, N, M] layout; the transpose to the [B, M, N] round layout and
+    # the sign flip run on-device (host transposes of 100+ MB cost
+    # seconds, and staging device-resident costs skips the transfer —
+    # the analogue of the reference bench's iter_batched setup exclusion,
+    # `benchmark.rs:111-125`).
     work = costs if maximize else -costs
-    values_t = jnp.asarray(
-        np.swapaxes(work, 1, 2).astype(dtype)
-    )  # [B, M(K), N]
+    if costs_device is not None:
+        if costs_device.shape != costs.shape:
+            raise ValueError("costs_device must match costs' shape")
+        costs_dev = jnp.asarray(costs_device, dtype)
+    else:
+        costs_dev = jnp.asarray(costs.astype(dtype))
+    values_t = _stage_values_t(costs_dev, not maximize)  # [B, M(K), N]
 
     if solver == "khosla":
         eps_val = float(eps) if eps is not None else 1.0 / m
@@ -323,10 +574,19 @@ def solve_batch(
     else:
         eps_val = float(eps) if eps is not None else 1.0 / n
         c = np.abs(work.reshape(b, -1)).max(axis=1)
-        # start eps: the reference uses C/2 (symmetric.rs:268-273); a
-        # smaller start converges in markedly fewer Jacobi rounds on
-        # dense instances (keep-valid-pairs makes later phases cheap)
-        thresholds = np.where(n == m, c / start_eps_divisor, eps_val)
+        if solver == "fr":
+            # the combined forward-reverse auction needs no ε-scaling:
+            # it terminates in ~n/2 rounds starting directly at the
+            # target ε (measured: 74–135 rounds at 256×256 vs 700–900
+            # for the scaled forward auction), because free objects cut
+            # their own price instead of waiting out price wars
+            thresholds = np.full(b, eps_val)
+        else:
+            # start eps: the reference uses C/2 (symmetric.rs:268-273);
+            # a smaller start converges in markedly fewer Jacobi rounds
+            # on dense instances (keep-valid-pairs makes later phases
+            # cheap)
+            thresholds = np.where(n == m, c / start_eps_divisor, eps_val)
         target_eps = eps_val
         toleration = float(
             2.0 ** (max(0, int(np.log2(float(c.max()) + 1e-7))) - 53)
@@ -342,6 +602,7 @@ def solve_batch(
         int(max_iterations),
         n,
         m,
+        work_host=work,
     )
 
     p2o_np = np.asarray(p2o)

@@ -17,7 +17,7 @@ def oracle_batch(costs, maximize=False):
     return np.array(out)
 
 
-@pytest.mark.parametrize("solver", ["forward", "khosla"])
+@pytest.mark.parametrize("solver", ["forward", "khosla", "fr"])
 @pytest.mark.parametrize("maximize", [False, True])
 def test_batch_dense_vs_oracle(solver, maximize):
     rng = np.random.default_rng(0)
@@ -36,7 +36,7 @@ def test_batch_dense_vs_oracle(solver, maximize):
         assert np.all(sol.objective <= want + gap + 1e-9)
 
 
-@pytest.mark.parametrize("solver", ["forward", "khosla"])
+@pytest.mark.parametrize("solver", ["forward", "khosla", "fr"])
 def test_batch_integer_exact(solver):
     rng = np.random.default_rng(1)
     b, n = 6, 12
@@ -48,7 +48,7 @@ def test_batch_integer_exact(solver):
     np.testing.assert_allclose(sol.objective, want, atol=1e-9)
 
 
-@pytest.mark.parametrize("solver", ["forward", "khosla"])
+@pytest.mark.parametrize("solver", ["forward", "khosla", "fr"])
 def test_batch_float32_path(solver):
     rng = np.random.default_rng(2)
     b, n = 4, 32
@@ -98,3 +98,32 @@ def test_batch_input_validation():
         solve_batch(np.zeros((4, 4)))
     with pytest.raises(ValueError):
         solve_batch(np.zeros((1, 5, 4)))
+
+
+def test_batch_fr_asymmetric_falls_back():
+    # fr on N != M must transparently use the forward engine
+    rng = np.random.default_rng(7)
+    b, n, m = 3, 8, 16
+    costs = rng.uniform(0.0, 10.0, size=(b, n, m))
+    sol = solve_batch(costs, solver="fr", dtype=np.float64)
+    assert np.all(sol.num_unassigned == 0)
+    want = oracle_batch(costs)
+    gap = n * np.maximum(sol.eps, 0)
+    assert np.all(sol.objective >= want - 1e-9)
+    assert np.all(sol.objective <= want + gap + 1e-9)
+
+
+def test_batch_fr_integer_exact_large():
+    # the fr engine runs at the target eps directly (no ladder); with
+    # integer costs and eps < 1/n the result is the exact optimum
+    rng = np.random.default_rng(8)
+    b, n = 4, 64
+    costs = rng.integers(1, 1000, size=(b, n, n)).astype(np.float64)
+    sol = solve_batch(costs, solver="fr", dtype=np.float64)
+    want = oracle_batch(costs)
+    assert np.all(sol.num_unassigned == 0)
+    np.testing.assert_allclose(sol.objective, want, atol=1e-9)
+    # inverse consistency (fr maintains o2p exactly, unlike keep-valid)
+    for bi in range(b):
+        for i, j in enumerate(sol.person_to_object[bi]):
+            assert sol.object_to_person[bi, j] == i
