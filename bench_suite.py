@@ -1,0 +1,219 @@
+"""Reference bench configs A/B + dense single-instance sweep, TPU vs native.
+
+Produces the BASELINE.md comparison rows (VERDICT round-1 items 3 and 7):
+every row runs the *same instance* through the TPU solvers and the
+native sequential C++ engine (the Rust crate's stand-in), with the same
+target ε and the same ε-CS optimality bar, and reports wall clock plus
+arcs/sec (the reference's throughput unit, `benchmark.rs:106,134`).
+
+Run on the TPU host: `python bench_suite.py [--quick]`.
+Timing: median of 3 steady-state repeats (first/compile run excluded).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def median_time(fn, repeats=3):
+    fn()  # warm (compile / cache load)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def bench_config_a(sizes=(1000, 5000, 10000)):
+    """Symmetric random, density 1%, values U[500,1000)
+    (`benchmark.rs:81-157`)."""
+    from sparse_linear_assignment_tpu import (
+        ForwardAuctionSolver,
+        KhoslaSolver,
+    )
+    from sparse_linear_assignment_tpu.cpu_reference import (
+        forward_solve_cpu,
+        khosla_solve_cpu,
+    )
+    from sparse_linear_assignment_tpu.generators import gen_symmetric_input
+
+    rows = []
+    for n in sizes:
+        solver, solution = KhoslaSolver.new(n, n, int(n * n * 0.012) + 2 * n)
+        gen_symmetric_input(solver, 42, n, 0.01, 500.0, 1000.0)
+        arcs = solver.num_of_arcs()
+        log(f"config A n={n}: {arcs} arcs")
+
+        # native sequential engines (reference semantics)
+        t_cpu_k = median_time(lambda: khosla_solve_cpu(solver))
+        t_cpu_f = median_time(lambda: forward_solve_cpu(solver))
+
+        # TPU khosla, slot-list engine, f32, eps ladder
+        solver.dtype = np.dtype(np.float32)
+        t_tpu_k = median_time(
+            lambda: solver.solve(solution, False, scale_eps=True)
+        )
+        obj_k = solver.get_objective(solution)
+        assert solution.num_unassigned == 0
+
+        # TPU forward, chunked Jacobi, f32
+        fsolver, fsol = ForwardAuctionSolver.new(n, n, arcs)
+        fsolver.init(n, n)
+        fsolver._i_starts_stops = list(solver.i_starts_stops)
+        fsolver._j_counts = list(solver.j_counts)
+        fsolver._column_indices = list(solver.column_indices)
+        fsolver._values = list(np.abs(solver.values))
+        fsolver.num_rows = fsolver.num_cols = n
+        fsolver.dtype = np.dtype(np.float32)
+        t_tpu_f = median_time(lambda: fsolver.solve(fsol, False))
+        assert fsol.num_unassigned == 0
+
+        rows.append({
+            "config": f"A n={n} d=1%", "arcs": arcs,
+            "native_khosla_s": t_cpu_k, "native_forward_s": t_cpu_f,
+            "tpu_khosla_s": t_tpu_k, "tpu_forward_s": t_tpu_f,
+            "obj": obj_k,
+        })
+        log(json.dumps(rows[-1]))
+    return rows
+
+
+def bench_config_b():
+    """Asymmetric k-sparse: 2000 people × 60000 objects, 32 arcs/person,
+    Beta(3,3) values scaled to [300,1000) (`benchmark.rs:159-249`)."""
+    from sparse_linear_assignment_tpu import KhoslaSolver
+    from sparse_linear_assignment_tpu.cpu_reference import (
+        forward_solve_cpu,
+        khosla_solve_cpu,
+    )
+    from sparse_linear_assignment_tpu.generators import gen_asymmetric_input
+
+    n, m, k = 2000, 60000, 32
+    solver, solution = KhoslaSolver.new(n, m, n * k)
+    gen_asymmetric_input(solver, 42, n, m, k, 300.0, 700.0)  # [300,1000)
+    arcs = solver.num_of_arcs()
+    log(f"config B: {arcs} arcs")
+    t_cpu_k = median_time(lambda: khosla_solve_cpu(solver))
+    t_cpu_f = median_time(lambda: forward_solve_cpu(solver))
+    solver.dtype = np.dtype(np.float32)
+    t_tpu_k = median_time(lambda: solver.solve(solution, False))
+    assert solution.num_unassigned == 0
+    row = {
+        "config": "B 2000x60000 k=32", "arcs": arcs,
+        "native_khosla_s": t_cpu_k, "native_forward_s": t_cpu_f,
+        "tpu_khosla_s": t_tpu_k,
+    }
+    log(json.dumps(row))
+    return [row]
+
+
+def bench_dense_single(sizes=(512, 896)):
+    """Dense single instances: fused FR kernel (batch of 1) vs the
+    native sequential forward engine, same instance, same target ε
+    (1/n), integer costs so both reach the exact optimum."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.optimize import linear_sum_assignment
+
+    from sparse_linear_assignment_tpu.batch import (
+        _cpu_tail_forward,
+        solve_batch,
+    )
+
+    rows = []
+    rng = np.random.default_rng(7)
+    for n in sizes:
+        costs = rng.integers(1, 1000, size=(1, n, n)).astype(np.float64)
+        dev = jnp.asarray(costs.astype(np.float32))
+        jax.block_until_ready(dev)
+
+        sol_holder = {}
+
+        def tpu_run():
+            sol_holder["sol"] = solve_batch(
+                costs, solver="fr", dtype=np.float32, costs_device=dev
+            )
+
+        t_tpu = median_time(tpu_run)
+        sol = sol_holder["sol"]
+        assert int(sol.num_unassigned.sum()) == 0
+
+        def cpu_run():
+            sol_holder["cpu"] = _cpu_tail_forward(
+                -costs[0], 1.0 / n, 1_000_000
+            )
+
+        t_cpu = median_time(cpu_run)
+
+        r, c = linear_sum_assignment(costs[0])
+        want = float(costs[0][r, c].sum())
+        got_tpu = float(sol.objective[0])
+        p2o_cpu = sol_holder["cpu"][0]
+        got_cpu = float(costs[0][np.arange(n), p2o_cpu].sum())
+        assert abs(got_tpu - want) < 1e-6, (got_tpu, want)
+        assert abs(got_cpu - want) < 1e-6, (got_cpu, want)
+
+        rows.append({
+            "config": f"dense {n}x{n} single", "arcs": n * n,
+            "native_forward_s": t_cpu, "tpu_fr_s": t_tpu,
+            "speedup": t_cpu / t_tpu,
+        })
+        log(json.dumps(rows[-1]))
+    return rows
+
+
+def bench_batched_vs_native(batch=512, n=256):
+    """The batched workload both ways: TPU fr engine vs the native
+    engine solving the same instances one-by-one on the host."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_linear_assignment_tpu.batch import (
+        _cpu_tail_forward,
+        solve_batch,
+    )
+
+    rng = np.random.default_rng(0)
+    costs = rng.integers(1, 1000, size=(batch, n, n)).astype(np.float64)
+    dev = jnp.asarray(costs.astype(np.float32))
+    jax.block_until_ready(dev)
+
+    t_tpu = median_time(lambda: solve_batch(
+        costs, solver="fr", dtype=np.float32, costs_device=dev))
+
+    sub = 64  # native: extrapolate from a subset (it is slow)
+    t0 = time.perf_counter()
+    for i in range(sub):
+        _cpu_tail_forward(-costs[i], 1.0 / n, 1_000_000)
+    t_cpu = (time.perf_counter() - t0) * batch / sub
+
+    row = {
+        "config": f"batched {batch}x{n}x{n}",
+        "tpu_fr_s": t_tpu, "tpu_inst_per_s": batch / t_tpu,
+        "native_forward_s_extrap": t_cpu,
+        "native_inst_per_s": batch / t_cpu,
+        "speedup": t_cpu / t_tpu,
+    }
+    log(json.dumps(row))
+    return [row]
+
+
+def main():
+    quick = "--quick" in sys.argv
+    out = {}
+    out["dense_single"] = bench_dense_single()
+    out["batched"] = bench_batched_vs_native()
+    out["config_a"] = bench_config_a((1000,) if quick else (1000, 5000, 10000))
+    out["config_b"] = [] if quick else bench_config_b()
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,7 +32,12 @@ import os
 
 import jax
 
-if not os.environ.get("SLAP_TPU_NO_X64"):
+# Respect an explicit user choice (JAX_ENABLE_X64 env or the opt-out)
+# before mutating process-global config; see the float64 note above.
+if (
+    not os.environ.get("SLAP_TPU_NO_X64")
+    and "JAX_ENABLE_X64" not in os.environ
+):
     jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the TPU backend in this environment takes

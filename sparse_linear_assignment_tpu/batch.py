@@ -286,12 +286,15 @@ def _solve_batch_fr(
     if tail_count is None:
         tail_count = min(128, 16 * ncores)
     # fused multi-round Pallas kernel (ops/pallas_fr.py): tile-aligned
-    # f32 instances in the no-ladder mode; XLA rounds otherwise
+    # f32 instances in the no-ladder mode; XLA rounds otherwise.  The
+    # whole instance plus round temporaries must fit scoped VMEM
+    # (measured: 1024×1024 f32 needs 17.7 MB vs the 16 MB limit).
     use_pallas = (
         sfoe
         and np_dtype == np.float32
         and n % 128 == 0
         and m % 8 == 0
+        and n * m <= 896 * 896
         and jax.default_backend() not in ("cpu",)
     )
 

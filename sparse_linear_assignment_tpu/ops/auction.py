@@ -553,6 +553,7 @@ def forward_solve_chunked(
     max_iterations,
     chunk: int = 64,
     start_prices=None,
+    max_chunk: int = 1024,
 ):
     """Host-driven forward solve: same semantics and return values as
     :func:`forward_solve`, structured as chunks of fixed-length scans.
@@ -584,11 +585,16 @@ def forward_solve_chunked(
     max_iterations_i = np.int32(max_iterations)
 
     state = init
+    # geometrically growing chunks: every host sync costs ~240 ms of
+    # tunnel latency in this environment, so the done-check count must
+    # be logarithmic in the round count, not linear (docs/PERFORMANCE.md)
+    cur_chunk = chunk
     while not bool(state.done):
         state = forward_run_chunk(
             problem, state, target_eps, toleration,
-            start_from_optimal_eps, max_iterations_i, chunk,
+            start_from_optimal_eps, max_iterations_i, cur_chunk,
         )
+        cur_chunk = min(max_chunk, cur_chunk * 2)
     num_unassigned = jnp.sum(state.p2o == UNASSIGNED).astype(jnp.int32)
     return (
         state.prices,

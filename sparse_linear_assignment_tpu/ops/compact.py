@@ -214,18 +214,23 @@ def khosla_solve_compact(
 
     p = state.slots.shape[0]
     active = int(jnp.sum(state.slots != _INT_MAX))
+    cur_chunk = 0
     while active > 0 and int(state.nits) < max_rounds:
         target_p = next(l for l in reversed(levels) if l >= active)
         if target_p < p:
             state = repack_slots(state, target_p)
             p = target_p
+            cur_chunk = 0
         # large levels drain in a handful of rounds; small levels run
-        # long chains and amortize host syncs over bigger chunks
-        level_chunk = 8 if p >= 4096 else chunk
+        # long chains — and every host sync costs ~240 ms of tunnel
+        # latency, so chunks grow geometrically within a level
+        if cur_chunk == 0:
+            cur_chunk = 8 if p >= 4096 else chunk
         state, active_dev = khosla_run_chunk(
-            problem, state, eps, price_threshold, level_chunk
+            problem, state, eps, price_threshold, cur_chunk
         )
         active = int(active_dev)
+        cur_chunk = min(512, cur_chunk * 2)
     return state
 
 
