@@ -63,17 +63,21 @@ def bench_config_a(sizes=(1000, 5000, 10000)):
         obj_k = solver.get_objective(solution)
         assert solution.num_unassigned == 0
 
-        # TPU forward, chunked Jacobi, f32
-        fsolver, fsol = ForwardAuctionSolver.new(n, n, arcs)
-        fsolver.init(n, n)
-        fsolver._i_starts_stops = list(solver.i_starts_stops)
-        fsolver._j_counts = list(solver.j_counts)
-        fsolver._column_indices = list(solver.column_indices)
-        fsolver._values = list(np.abs(solver.values))
-        fsolver.num_rows = fsolver.num_cols = n
-        fsolver.dtype = np.dtype(np.float32)
-        t_tpu_f = median_time(lambda: fsolver.solve(fsol, False))
-        assert fsol.num_unassigned == 0
+        # TPU forward, chunked Jacobi, f32 — only at small n: its
+        # conflict-resolution lane-gathers make large sparse single
+        # instances dispatch/gather-bound (measured 124 s at n=5000)
+        t_tpu_f = None
+        if n <= 1000:
+            fsolver, fsol = ForwardAuctionSolver.new(n, n, arcs)
+            fsolver.init(n, n)
+            fsolver._i_starts_stops = list(solver.i_starts_stops)
+            fsolver._j_counts = list(solver.j_counts)
+            fsolver._column_indices = list(solver.column_indices)
+            fsolver._values = list(np.abs(solver.values))
+            fsolver.num_rows = fsolver.num_cols = n
+            fsolver.dtype = np.dtype(np.float32)
+            t_tpu_f = median_time(lambda: fsolver.solve(fsol, False))
+            assert fsol.num_unassigned == 0
 
         rows.append({
             "config": f"A n={n} d=1%", "arcs": arcs,
