@@ -54,6 +54,135 @@ class LState(NamedTuple):
     nits: jnp.ndarray  # ()
 
 
+def _top2_masked(cols, vals, mask, prices):
+    """Masked-reduction top-2 profit over ``[K, W]`` arc slots
+    (first-occurrence max, matching `ksparse.rs:206-213`)."""
+    neg_inf = -jnp.inf
+    profit = jnp.where(mask, vals - prices[cols], neg_inf)
+    k = profit.shape[0]
+    best = jnp.max(profit, axis=0)
+    k_iota = lax.broadcasted_iota(jnp.int32, profit.shape, 0)
+    best_k = jnp.min(
+        jnp.where(profit == best[None, :], k_iota, jnp.int32(k)), axis=0
+    )
+    sel = k_iota == best_k[None, :]
+    second = jnp.max(jnp.where(sel, neg_inf, profit), axis=0)
+    best_col = jnp.max(jnp.where(sel, cols, 0), axis=0)
+    best_val = jnp.max(
+        jnp.where(sel, vals, jnp.asarray(neg_inf, profit.dtype)), axis=0
+    )
+    return best, second, best_col, best_val
+
+
+def _full_top2(problem: PaddedProblem, prices):
+    """Per-person top-2 over ALL persons, using the degree-split layout
+    when present: per-arc gathers cost ~8 ns/element on this backend, so
+    scanning the first-8 block plus the small overflow block (~nnz
+    elements) beats the rectangular ``[k_max, N]`` scan (2.2× fewer
+    gathered elements on the n=1e5 headline).  Tie semantics match the
+    rectangular scan exactly (base slots precede overflow slots)."""
+    if problem.row_cols8 is None:
+        return _top2_masked(
+            problem.row_cols, problem.row_vals, problem.row_mask, prices
+        )
+    b_best, b_second, b_col, b_val = _top2_masked(
+        problem.row_cols8, problem.row_vals8, problem.row_mask8, prices
+    )
+    o_best, o_second, o_col, o_val = _top2_masked(
+        problem.ovf_cols, problem.ovf_vals, problem.ovf_mask, prices
+    )
+    ids = problem.ovf_person
+    b1 = b_best[ids]
+    s1 = b_second[ids]
+    take_o = o_best > b1  # strict: base slots come first in row order
+    best_m = jnp.where(take_o, o_best, b1)
+    second_m = jnp.where(
+        take_o, jnp.maximum(b1, o_second), jnp.maximum(s1, o_best)
+    )
+    col_m = jnp.where(take_o, o_col, b_col[ids])
+    val_m = jnp.where(take_o, o_val, b_val[ids])
+    return (
+        b_best.at[ids].set(best_m),
+        b_second.at[ids].set(second_m),
+        b_col.at[ids].set(col_m),
+        b_val.at[ids].set(val_m),
+    )
+
+
+def _full_round(problem: PaddedProblem, s: LState, eps, threshold):
+    """One auction round over ALL unassigned persons (no slot list, no
+    row gathers) — the cheap formulation while the active set is a large
+    fraction of N.  Bit-identical state evolution to ``_slot_round``
+    (same bids, same smallest-person tie-breaks); ``slots`` passes
+    through stale and is rebuilt by ``repack_slots`` before switching to
+    slot-list levels."""
+    neg_inf = -jnp.inf
+    n = s.p2o.shape[0]
+    m = s.prices.shape[0]
+    ids = lax.broadcasted_iota(jnp.int32, (n,), 0)
+    active = (s.p2o == _INT_MAX) & ~s.dropped
+    any_active = jnp.any(active)
+
+    best, second, best_col, best_val = _full_top2(problem, s.prices)
+    # algebraic price reconstruction (profit = value − price ⇒ price =
+    # value − profit): saves an N-sized gather; differs from the stored
+    # price by ≤1 ulp, which the drop-rule/eps semantics tolerate
+    price_at_best = jnp.where(
+        best != neg_inf, best_val - best, jnp.asarray(0.0, s.prices.dtype)
+    )
+    bidder0 = active & (best != neg_inf)
+    drop_now = bidder0 & (price_at_best > threshold)
+    bidder = bidder0 & ~drop_now
+    has_second = second != neg_inf
+    raw_bid = jnp.where(
+        has_second, best_val - second + eps, price_at_best + eps
+    )
+    bid = jnp.where(bidder, raw_bid, neg_inf)
+
+    obj = jnp.where(bidder, best_col, 0)
+    prices_new = s.prices.at[obj].max(bid.astype(s.prices.dtype))
+    won_bid = bidder & (bid == prices_new[obj])
+    cand = jnp.where(won_bid, ids, _INT_MAX)
+    scat_obj = jnp.where(won_bid, obj, m)
+    winner = jnp.full(m + 1, _INT_MAX).at[scat_obj].min(cand)[:m]
+    has_w = winner != _INT_MAX
+
+    # person-side updates by where-forms (gathers), not scatter pairs —
+    # scatters serialize on this backend just like gathers, and the
+    # where-form needs one gather instead of two scatters
+    win = won_bid & (winner[obj] == ids)
+    o2p_new = jnp.where(has_w, winner, s.o2p)
+    assigned = s.p2o != _INT_MAX
+    safe_cur = jnp.where(assigned, s.p2o, 0)
+    displaced = assigned & has_w[safe_cur]
+    p2o_new = jnp.where(win, obj, jnp.where(displaced, _INT_MAX, s.p2o))
+    return LState(
+        prices=prices_new,
+        p2o=p2o_new,
+        o2p=o2p_new,
+        dropped=s.dropped | drop_now,
+        slots=s.slots,
+        nits=s.nits + any_active.astype(jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def khosla_full_chunk(problem: PaddedProblem, state: LState, eps,
+                      threshold, chunk: int):
+    """Run ``chunk`` full-scan rounds; returns (state, active count)."""
+    dtype = problem.dtype
+    eps = jnp.asarray(eps, dtype)
+    threshold = jnp.asarray(threshold, dtype)
+
+    def body(s, _):
+        return _full_round(problem, s, eps, threshold), None
+
+    state, _ = lax.scan(body, state, None, length=chunk)
+    return state, jnp.sum(
+        (state.p2o == _INT_MAX) & ~state.dropped, dtype=jnp.int32
+    )
+
+
 def _slot_round(problem: PaddedProblem, s: LState, eps, threshold):
     """One auction round over the occupied slots."""
     neg_inf = -jnp.inf
@@ -85,7 +214,11 @@ def _slot_round(problem: PaddedProblem, s: LState, eps, threshold):
         jnp.where(sel, vals_c, jnp.asarray(neg_inf, profit.dtype)), axis=0
     )
 
-    price_at_best = s.prices[best_col]  # [P]
+    # algebraic price reconstruction, same formula as _full_round (keeps
+    # the two rounds bit-identical); saves a P-sized gather
+    price_at_best = jnp.where(
+        best != neg_inf, best_val - best, jnp.asarray(0.0, s.prices.dtype)
+    )  # [P]
     bidder0 = occupied & (best != neg_inf)
     # drop rule (ksparse.rs:218-220): finite termination for infeasible
     drop_now = bidder0 & (price_at_best > threshold)
@@ -214,6 +347,20 @@ def khosla_solve_compact(
 
     p = state.slots.shape[0]
     active = int(jnp.sum(state.slots != _INT_MAX))
+    # full-scan phase: while most persons are active, rounds over all N
+    # (no slot/row gathers, degree-split top-2) beat slot-list rounds
+    full_cutoff = max(512, n // 8)
+    cur_chunk = 0
+    while active > full_cutoff and int(state.nits) < max_rounds:
+        if cur_chunk == 0:
+            cur_chunk = 8
+        state, active_dev = khosla_full_chunk(
+            problem, state, eps, price_threshold, cur_chunk
+        )
+        active = int(active_dev)
+        cur_chunk = min(128, cur_chunk * 2)
+    if active > 0:
+        state = repack_slots(state, p)  # rebuild from the mask
     cur_chunk = 0
     while active > 0 and int(state.nits) < max_rounds:
         target_p = next(l for l in reversed(levels) if l >= active)

@@ -48,10 +48,24 @@ class PaddedProblem:
         compile-friendly path on this TPU backend, while the equivalent
         lane-axis gather ``x[:, ids]`` sends its compiler into
         multi-minute blowups.
+
+    Degree-split arrays (present when ``k_max > 8`` — ``None``
+    otherwise): every per-arc gather costs ~8 ns/element on this
+    backend and rectangular padding to ``k_max`` inflates the arc count
+    (2.24× on the n=1e5 headline, k_max 22 vs mean 6), so full-scan
+    rounds use the first 8 arc slots of every person
+    (``row_cols8/row_vals8/row_mask8 [8, N]``) plus an overflow block
+    holding only the arcs beyond 8 of the few high-degree persons
+    (``ovf_person [V]``, ``ovf_cols/ovf_vals/ovf_mask [k_max−8, V]``);
+    per-person top-2 results merge exactly (base slots precede overflow
+    slots in row order, so first-maximum tie-breaks are preserved).
     """
 
     def __init__(self, row_cols, row_vals, row_mask, col_persons, col_mask,
-                 row_cols_t=None, row_vals_t=None, row_mask_t=None):
+                 row_cols_t=None, row_vals_t=None, row_mask_t=None,
+                 row_cols8=None, row_vals8=None, row_mask8=None,
+                 ovf_person=None, ovf_cols=None, ovf_vals=None,
+                 ovf_mask=None):
         self.row_cols = row_cols
         self.row_vals = row_vals
         self.row_mask = row_mask
@@ -60,6 +74,13 @@ class PaddedProblem:
         self.row_cols_t = row_cols_t
         self.row_vals_t = row_vals_t
         self.row_mask_t = row_mask_t
+        self.row_cols8 = row_cols8
+        self.row_vals8 = row_vals8
+        self.row_mask8 = row_mask8
+        self.ovf_person = ovf_person
+        self.ovf_cols = ovf_cols
+        self.ovf_vals = ovf_vals
+        self.ovf_mask = ovf_mask
 
     @property
     def dtype(self):
@@ -83,6 +104,13 @@ class PaddedProblem:
             self.row_cols_t,
             self.row_vals_t,
             self.row_mask_t,
+            self.row_cols8,
+            self.row_vals8,
+            self.row_mask8,
+            self.ovf_person,
+            self.ovf_cols,
+            self.ovf_vals,
+            self.ovf_mask,
         )
         return children, None
 
@@ -145,6 +173,21 @@ def build_padded_problem(
     col_persons[pos_in_col, col_sorted] = person_sorted
     col_mask[pos_in_col, col_sorted] = True
 
+    # degree-split arrays (see class docstring) when padding is wasteful
+    split = {}
+    if k_max > 8:
+        ovf = np.nonzero(counts > 8)[0]
+        if ovf.size:
+            split = dict(
+                row_cols8=row_cols[:8],
+                row_vals8=row_vals[:8],
+                row_mask8=row_mask[:8],
+                ovf_person=ovf.astype(INDEX_DTYPE),
+                ovf_cols=np.ascontiguousarray(row_cols[8:, ovf]),
+                ovf_vals=np.ascontiguousarray(row_vals[8:, ovf]),
+                ovf_mask=np.ascontiguousarray(row_mask[8:, ovf]),
+            )
+
     problem = PaddedProblem(
         row_cols=row_cols,
         row_vals=row_vals,
@@ -154,6 +197,7 @@ def build_padded_problem(
         row_cols_t=np.ascontiguousarray(row_cols.T),
         row_vals_t=np.ascontiguousarray(row_vals.T),
         row_mask_t=np.ascontiguousarray(row_mask.T),
+        **split,
     )
     # ship to the device once — host-driven solve loops dispatch many
     # small programs against these arrays, and leaving them as NumPy

@@ -126,3 +126,54 @@ def test_hybrid_infeasible_terminates():
     solver.add_value(1, 0, 2.0)
     solver.solve(solution, False, hybrid=True)
     assert solution.num_unassigned == 1
+
+
+def test_full_round_matches_slot_round():
+    """The full-scan round (degree-split top-2, no slot machinery) must
+    evolve state bit-identically to the slot round when every active
+    person occupies a slot."""
+    import jax.numpy as jnp
+
+    from sparse_linear_assignment_tpu.generators import gen_symmetric_input
+    from sparse_linear_assignment_tpu.ksparse import KhoslaSolver
+    from sparse_linear_assignment_tpu.ops.compact import (
+        LState,
+        khosla_full_chunk,
+        khosla_run_chunk,
+    )
+    from sparse_linear_assignment_tpu.ops.padded import build_padded_problem
+    from sparse_linear_assignment_tpu.solution import UNASSIGNED
+
+    n = 400
+    solver, _ = KhoslaSolver.new(n, n, 30 * n)
+    # density high enough that k_max > 8 (exercises the split arrays)
+    gen_symmetric_input(solver, 17, n, 0.04, 0.0, 10.0)
+    values = -solver.values
+    problem = build_padded_problem(
+        n, n, solver.j_counts, solver.column_indices, values,
+        dtype=np.float64,
+    )
+    assert problem.row_cols8 is not None  # split layout present
+    eps = np.float64(1.0 / n)
+    thr = np.float64((n / 2.0) * (10.0 + eps))
+
+    def init():
+        return LState(
+            prices=jnp.zeros(n, jnp.float64),
+            p2o=jnp.full(n, jnp.int32(UNASSIGNED)),
+            o2p=jnp.full(n, jnp.int32(UNASSIGNED)),
+            dropped=jnp.zeros(n, bool),
+            slots=jnp.arange(n, dtype=jnp.int32),
+            nits=jnp.zeros((), jnp.int32),
+        )
+
+    s_full, _ = khosla_full_chunk(problem, init(), eps, thr, 12)
+    s_slot, _ = khosla_run_chunk(problem, init(), eps, thr, 12)
+    np.testing.assert_array_equal(np.asarray(s_full.p2o), np.asarray(s_slot.p2o))
+    np.testing.assert_array_equal(np.asarray(s_full.o2p), np.asarray(s_slot.o2p))
+    np.testing.assert_array_equal(
+        np.asarray(s_full.dropped), np.asarray(s_slot.dropped)
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_full.prices), np.asarray(s_slot.prices), rtol=0, atol=0
+    )
