@@ -59,7 +59,12 @@ def bench_headline():
     tpu_obj = solver.get_objective(solution)
     log(f"hybrid steady best: {best:.2f}s unassigned="
         f"{solution.num_unassigned} obj={tpu_obj:.2f}")
-    # both must reach a full matching; objectives agree to the eps bound
+    # Both must reach a full matching; objectives agree within the n*eps
+    # optimality bound.  Certificate note: the hybrid's bulk phase runs
+    # float32, so its eps-CS certificate holds within f32 rounding of
+    # prices (~C*2^-23); the strict f64 certificate is available via
+    # solver.dtype = float64 at a measured 2.1x cost
+    # (docs/PERFORMANCE.md "dtype/eps decision matrix").
     assert solution.num_unassigned == 0
     assert abs(tpu_obj - cpu_obj) <= n * solution.eps + 1e-6, (tpu_obj, cpu_obj)
     return cpu_time / best
