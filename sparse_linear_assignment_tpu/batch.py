@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -439,6 +439,21 @@ def _solve_batch_fr(
     return out_p2o, out_o2p, num_unassigned, out_eps, out_nits
 
 
+class _FlatForwardState(NamedTuple):
+    """Scan state of the Pallas forward chunk — the kernel's flat padded
+    layouts plus the per-instance ε-scaling scalars.  A dedicated type
+    (not ForwardState) so no field ever holds stale placeholder data."""
+
+    prices2: jnp.ndarray   # [B*M, 1]
+    p2o_pad2: jnp.ndarray  # [B*8, N] (row 0 of each group live)
+    o2p2: jnp.ndarray      # [B*M, 1]
+    eps: jnp.ndarray       # [B]
+    nits: jnp.ndarray      # [B]
+    nreductions: jnp.ndarray
+    optimal_found: jnp.ndarray
+    done: jnp.ndarray
+
+
 @functools.partial(
     jax.jit, static_argnames=("max_iterations", "chunk", "sfoe")
 )
@@ -454,27 +469,33 @@ def _batch_chunk_pallas(
     """Forward-auction chunk built on the fused Pallas round kernel
     (ops/pallas_dense.py): the whole round is one VMEM-resident kernel,
     with only the per-instance ε-scaling bookkeeping in XLA.  The scan
-    carries the kernel's flat padded layouts (pad/unpad once per chunk,
-    not per round)."""
+    carries ``_FlatForwardState`` (pad/unpad once per chunk, not per
+    round); the returned ForwardState's ``o2p`` is stale by design —
+    keep-valid phases only ever write it, and the caller reconstructs
+    it from the final ``p2o``."""
     from .ops.pallas_dense import fused_dense_round_batch_flat
 
     dtype = values_t.dtype
     b, m, n = values_t.shape
     vals2 = values_t.reshape(b * m, n)
 
-    # pad once per chunk into the kernel's flat layouts
-    flat = (
-        states.prices.reshape(b * m, 1),
-        jnp.zeros((b, 8, n), jnp.int32)
+    init = _FlatForwardState(
+        prices2=states.prices.reshape(b * m, 1),
+        p2o_pad2=jnp.zeros((b, 8, n), jnp.int32)
         .at[:, 0, :].set(states.p2o).reshape(b * 8, n),
-        states.o2p.reshape(b * m, 1),
+        o2p2=states.o2p.reshape(b * m, 1),
+        eps=states.eps,
+        nits=states.nits,
+        nreductions=states.nreductions,
+        optimal_found=states.optimal_found,
+        done=states.done,
     )
 
-    def body(carry, _):
-        prices2, p2o_pad2, o2p2, s = carry
+    def body(s: _FlatForwardState, _):
         prices2, p2o_pad2, o2p2, chosen_pad, maxp_pad = (
             fused_dense_round_batch_flat(
-                vals2, prices2, p2o_pad2, o2p2, s.eps, s.done, b, m, n
+                vals2, s.prices2, s.p2o_pad2, s.o2p2, s.eps, s.done,
+                b, m, n,
             )
         )
         p2o = p2o_pad2.reshape(b, 8, n)[:, 0, :]
@@ -491,8 +512,7 @@ def _batch_chunk_pallas(
         stop = is_optimal | (s.eps < target_eps)
         reduce = fully & ~stop
         eps = jnp.where(reduce, s.eps * jnp.asarray(0.15, dtype), s.eps)
-        # keep-valid pairs at the reduced eps (see forward_round); o2p
-        # stays stale and is reconstructed by the caller
+        # keep-valid pairs at the reduced eps (see forward_round)
         release = reduce[:, None] & ~(
             (p2o != _INT_MAX)
             & (chosen + toleration >= maxp - eps[:, None])
@@ -503,25 +523,22 @@ def _batch_chunk_pallas(
             .reshape(b * 8, n)
         )
         done = s.done | (fully & stop) | (nits >= max_iterations)
-        s = ForwardState(
-            prices=s.prices,  # placeholder; flat copy is authoritative
-            p2o=s.p2o,
-            o2p=s.o2p,
+        return _FlatForwardState(
+            prices2=prices2,
+            p2o_pad2=p2o_pad2,
+            o2p2=o2p2,
             eps=eps,
             nits=nits,
             nreductions=s.nreductions + reduce.astype(jnp.int32),
             optimal_found=s.optimal_found | (fully & is_optimal),
             done=done,
-        )
-        return (prices2, p2o_pad2, o2p2, s), None
+        ), None
 
-    (prices2, p2o_pad2, o2p2, s), _ = lax.scan(
-        body, (*flat, states), None, length=chunk
-    )
+    s, _ = lax.scan(body, init, None, length=chunk)
     states = ForwardState(
-        prices=prices2.reshape(b, m),
-        p2o=p2o_pad2.reshape(b, 8, n)[:, 0, :],
-        o2p=o2p2.reshape(b, m),
+        prices=s.prices2.reshape(b, m),
+        p2o=s.p2o_pad2.reshape(b, 8, n)[:, 0, :],
+        o2p=s.o2p2.reshape(b, m),
         eps=s.eps,
         nits=s.nits,
         nreductions=s.nreductions,

@@ -1,6 +1,8 @@
 from .sharded import (
     sharded_forward_core,
+    sharded_fr_batch_core,
     sharded_khosla_core,
+    solve_batch_sharded,
     solve_sharded_forward,
     solve_sharded_khosla,
 )

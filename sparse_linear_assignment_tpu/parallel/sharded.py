@@ -578,3 +578,144 @@ def solve_sharded_forward(
     if hasattr(solver, "nits"):
         solver.nits = int(nits)
     return solution, int(nits)
+
+
+# ----------------------------------------------------------------------
+# Sharded batched solve (data parallelism over independent instances)
+# ----------------------------------------------------------------------
+def _fr_batch_chunk_local(values_t, states, target_eps, max_iterations,
+                          chunk: int):
+    """Per-device chunk of forward-reverse rounds over the local batch
+    slice (instances are independent — the only collective is the
+    replicated all-done flag)."""
+    from ..ops.fr_dense import fr_round
+
+    def one(vals_t, state):
+        def body(s, _):
+            return (
+                fr_round(
+                    vals_t, s, target_eps,
+                    jnp.asarray(0.0, vals_t.dtype),
+                    max_iterations, skip_certificate=True,
+                ),
+                None,
+            )
+
+        state, _ = lax.scan(body, state, None, length=chunk)
+        return state
+
+    states = jax.vmap(one)(values_t, states)
+    local_undone = jnp.sum((~states.done).astype(jnp.int32))
+    undone = lax.psum(local_undone, "shard")
+    return states, undone
+
+
+@functools.lru_cache(maxsize=8)
+def sharded_fr_batch_core(mesh: Mesh, chunk: int = 64):
+    """Jitted multi-device batched forward-reverse chunk program: the
+    batch dimension is sharded across the mesh, everything else is
+    local.  This is the scaling dimension for batched throughput — an
+    8-device mesh runs 8× the instances per chunk with zero cross-chip
+    traffic beyond the done-count psum."""
+    axis = mesh.axis_names[0]
+    bspec = P(axis)
+
+    fn = jax.shard_map(
+        functools.partial(_fr_batch_chunk_local, chunk=chunk),
+        mesh=mesh,
+        # a single spec acts as a pytree prefix for the FRState arg
+        in_specs=(bspec, bspec, P(), P()),
+        out_specs=(bspec, P()),
+    )
+    return jax.jit(fn)
+
+
+def solve_batch_sharded(
+    costs,
+    mesh: Mesh,
+    maximize: bool = False,
+    eps: float | None = None,
+    dtype=np.float32,
+    max_iterations: int = 100_000,
+    chunk: int = 64,
+):
+    """Solve a batch of dense symmetric LAP instances ``costs[B, N, N]``
+    sharded over ``mesh`` (forward-reverse engine, no ε-ladder).
+
+    Pure data parallelism: instances never communicate; each device
+    runs lockstep rounds over its local slice.  ``B`` is padded to a
+    multiple of the mesh size with copies of instance 0 (their results
+    are dropped).  Returns a :class:`~..batch.BatchSolution`.
+    """
+    from ..batch import BatchSolution
+    from ..ops.fr_dense import STALL_K0, FRState
+
+    costs = np.asarray(costs)
+    b, n, m = costs.shape
+    if n != m:
+        raise ValueError("solve_batch_sharded requires square instances")
+    d = int(np.prod(mesh.devices.shape))
+    b_pad = ((b + d - 1) // d) * d
+    work = costs if maximize else -costs
+    work32 = work.astype(dtype)
+    if b_pad != b:
+        work32 = np.concatenate(
+            [work32, np.repeat(work32[:1], b_pad - b, axis=0)], axis=0
+        )
+    values_t = np.swapaxes(work32, 1, 2)  # [B, M, N]
+
+    target_eps = np.dtype(dtype).type(
+        float(eps) if eps is not None else 1.0 / n
+    )
+    axis = mesh.axis_names[0]
+    bsh = NamedSharding(mesh, P(axis))
+    values_t = jax.device_put(values_t, bsh)
+    states = FRState(
+        prices=jax.device_put(np.zeros((b_pad, m), dtype), bsh),
+        profits=jnp.max(values_t, axis=1),
+        p2o=jax.device_put(
+            np.full((b_pad, n), UNASSIGNED, np.int32), bsh
+        ),
+        o2p=jax.device_put(
+            np.full((b_pad, m), UNASSIGNED, np.int32), bsh
+        ),
+        eps=jax.device_put(np.full(b_pad, target_eps, dtype), bsh),
+        forward_mode=jax.device_put(np.ones(b_pad, bool), bsh),
+        since_inc=jax.device_put(np.zeros(b_pad, np.int32), bsh),
+        stall_k=jax.device_put(
+            np.full(b_pad, STALL_K0, np.int32), bsh
+        ),
+        nits=jax.device_put(np.zeros(b_pad, np.int32), bsh),
+        nreductions=jax.device_put(np.zeros(b_pad, np.int32), bsh),
+        optimal_found=jax.device_put(np.zeros(b_pad, bool), bsh),
+        done=jax.device_put(np.zeros(b_pad, bool), bsh),
+    )
+
+    core = sharded_fr_batch_core(mesh, chunk)
+    maxit = jnp.asarray(np.int32(max_iterations))
+    rounds = 0
+    while True:
+        states, undone = core(values_t, states, target_eps, maxit)
+        rounds += chunk
+        if int(undone) == 0 or rounds >= max_iterations:
+            break
+
+    p2o = np.asarray(states.p2o)[:b]
+    nits = np.asarray(states.nits)[:b]
+    assigned = p2o != UNASSIGNED
+    o2p = np.full((b, m), UNASSIGNED, dtype=np.int32)
+    rows, cols_idx = np.nonzero(assigned)
+    o2p[rows, p2o[rows, cols_idx]] = cols_idx
+    safe = np.where(assigned, p2o, 0)
+    picked = np.take_along_axis(
+        costs.astype(np.float64), safe[:, :, None], axis=2
+    )[:, :, 0]
+    objective = np.where(assigned, picked, 0.0).sum(axis=1)
+    return BatchSolution(
+        person_to_object=p2o,
+        object_to_person=o2p,
+        num_unassigned=(~assigned).sum(axis=1).astype(np.int32),
+        objective=objective,
+        eps=np.full(b, float(target_eps)),
+        nits=nits,
+    )

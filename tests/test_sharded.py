@@ -143,3 +143,26 @@ def test_sharded_forward_matches_single_device_objective():
 
     # both reach the exact optimum on integer costs
     assert abs(obj1 - obj2) < 1e-9
+
+
+def test_sharded_batched_fr():
+    """Data-parallel batched solve over the mesh matches the scipy
+    oracle exactly on integer costs (B not a multiple of the mesh)."""
+    from sparse_linear_assignment_tpu.parallel.sharded import (
+        solve_batch_sharded,
+    )
+
+    rng = np.random.default_rng(21)
+    b, n = 11, 64
+    costs = rng.integers(1, 500, size=(b, n, n)).astype(np.float64)
+    mesh = make_mesh(8)
+    sol = solve_batch_sharded(costs, mesh, dtype=np.float64)
+    assert np.all(sol.num_unassigned == 0)
+    for bi in range(b):
+        r, c = linear_sum_assignment(costs[bi])
+        want = float(costs[bi][r, c].sum())
+        assert abs(sol.objective[bi] - want) < 1e-9, (bi, sol.objective[bi], want)
+    # inverse consistency
+    for bi in range(b):
+        for i, j in enumerate(sol.person_to_object[bi]):
+            assert sol.object_to_person[bi, j] == i
