@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .cpu_reference import khosla_finish_cpu
-from .ops.compact import LState, khosla_run_chunk, repack_slots
+from .ops.compact import LState, khosla_full_chunk
 from .ops.padded import PaddedProblem
 from .solution import UNASSIGNED
 
@@ -100,7 +100,9 @@ def khosla_solve_hybrid(
 
         unassigned = int((p2o < 0).sum())
         if unassigned > tail_threshold:
-            # ---- TPU bulk rounds ----
+            # ---- TPU bulk rounds (full-scan: the bulk phase only runs
+            # while the active set is a large fraction of N, exactly the
+            # regime where gather-free full rounds win — ops/compact.py)
             state = LState(
                 prices=jnp.asarray(prices64.astype(np_dtype)),
                 p2o=jnp.asarray(np.where(p2o < 0, _INT_MAX, p2o)),
@@ -109,14 +111,12 @@ def khosla_solve_hybrid(
                 slots=jnp.arange(n, dtype=jnp.int32),
                 nits=jnp.zeros((), jnp.int32),
             )
-            if p2o.max() >= 0:  # warm assignment: rebuild the slot list
-                state = repack_slots(state, n)
             active = unassigned
             eps_s = np_dtype.type(phase_eps)
             thr_s = np_dtype.type(threshold)
             while active > tail_threshold:
                 prev = active
-                state, active_dev = khosla_run_chunk(
+                state, active_dev = khosla_full_chunk(
                     problem, state, eps_s, thr_s, chunk
                 )
                 active = int(active_dev)
