@@ -185,13 +185,13 @@ def _stage_values_t(costs_dev, negate: bool):
 @jax.jit
 def _fr_pack_results(states: FRState):
     """Pack every host-needed result field into ONE int32 array
-    ``[B, n + m + 2]`` (p2o | o2p | nits | done).  Each device→host
-    readback through this environment's tunnel costs ~240 ms of pure
-    latency regardless of size, so results must cross in one transfer."""
+    ``[B, n + 2]`` (p2o | nits | done).  Each device→host readback
+    through this environment's tunnel costs ~240 ms of pure latency
+    regardless of size, so results must cross in one transfer; o2p is
+    not read back at all — it is reconstructed from p2o host-side."""
     return jnp.concatenate(
         [
             states.p2o,
-            states.o2p,
             states.nits[:, None],
             states.done.astype(jnp.int32)[:, None],
         ],
@@ -320,7 +320,7 @@ def _solve_batch_fr(
         rounds = budget
         while True:
             packed = np.asarray(_fr_pack_results(states))
-            done_h = packed[:, n + m + 1] != 0
+            done_h = packed[:, n + 1] != 0
             undone = np.nonzero(~done_h)[0]
             if len(undone) <= max(tail_count, 128) or rounds >= max_iterations:
                 break
@@ -328,9 +328,14 @@ def _solve_batch_fr(
             states, _ = fr_chunk_pallas(values_t, states, 128)
             rounds += 128
         out_p2o[:] = packed[:, :n]
-        out_o2p[:] = packed[:, n:n + m]
-        out_nits[:] = packed[:, n + m]
+        out_nits[:] = packed[:, n]
         out_eps[:] = float(target_eps)
+        # o2p from p2o host-side (the matching is a bijection on the
+        # assigned pairs) — cheaper than reading it back
+        assigned = out_p2o != UNASSIGNED
+        out_o2p[:] = UNASSIGNED
+        rws, cls = np.nonzero(assigned)
+        out_o2p[rws, out_p2o[rws, cls]] = cls
         if len(undone) and rounds < max_iterations:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -779,7 +784,14 @@ class BatchedLAP:
         self.eps = eps
         self.max_iterations = max_iterations
 
-    def solve(self, costs) -> BatchSolution:
+    def stage(self, costs):
+        """Ship ``costs`` to the device ahead of time (overlap transfer
+        with other work); pass the result as ``costs_device``."""
+        import jax.numpy as jnp
+
+        return jnp.asarray(np.asarray(costs).astype(self.dtype))
+
+    def solve(self, costs, costs_device=None) -> BatchSolution:
         costs = np.asarray(costs)
         expect = (self.batch, self.num_rows, self.num_cols)
         if costs.shape != expect:
@@ -791,4 +803,5 @@ class BatchedLAP:
             eps=self.eps,
             dtype=self.dtype,
             max_iterations=self.max_iterations,
+            costs_device=costs_device,
         )
