@@ -69,6 +69,7 @@ __all__ = [
     "UNASSIGNED",
     "INDEX_DTYPE",
     "solve_batch",
+    "solve_batch_sparse",
     "BatchedLAP",
 ]
 
@@ -77,7 +78,7 @@ __version__ = "0.1.0"
 
 def __getattr__(name):
     # lazy import to keep base import light
-    if name in ("solve_batch", "BatchedLAP"):
+    if name in ("solve_batch", "solve_batch_sparse", "BatchedLAP"):
         from . import batch
 
         return getattr(batch, name)

@@ -805,3 +805,155 @@ class BatchedLAP:
             max_iterations=self.max_iterations,
             costs_device=costs_device,
         )
+
+
+# ----------------------------------------------------------------------
+# Batched SPARSE mode (the reference's k-sparse domain, vmapped)
+# ----------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("max_rounds", "chunk"))
+def _batch_chunk_sparse(
+    row_cols,     # [B, K, N]
+    row_vals,     # [B, K, N]
+    row_mask,     # [B, K, N]
+    col_persons,  # [B, Kc, M]
+    col_mask,     # [B, Kc, M]
+    states: KhoslaState,
+    eps,          # scalar
+    thresholds,   # [B]
+    max_rounds: int,
+    chunk: int,
+):
+    """``chunk`` vmapped Khosla rounds over a batch of padded sparse
+    instances (same fixed-length-scan structure as ``_batch_chunk``)."""
+    from .ops.padded import PaddedProblem
+
+    def one(rc, rv, rm, cp, cm, state, threshold):
+        problem = PaddedProblem(rc, rv, rm, cp, cm)
+
+        def body(s, _):
+            return khosla_round(problem, s, eps, threshold), None
+
+        state, _ = lax.scan(body, state, None, length=chunk)
+        return state
+
+    states = jax.vmap(one)(
+        row_cols, row_vals, row_mask, col_persons, col_mask,
+        states, thresholds,
+    )
+    active = jnp.sum(
+        (states.p2o == UNASSIGNED) & ~states.dropped,
+        axis=1, dtype=jnp.int32,
+    )
+    alldone = jnp.all(active == 0) | jnp.all(states.nits >= max_rounds)
+    return states, alldone
+
+
+def solve_batch_sparse(
+    columns,
+    values,
+    num_cols: int,
+    maximize: bool = False,
+    eps: Optional[float] = None,
+    dtype=np.float32,
+    max_rounds: int = 10_000_000,
+    chunk: int = 64,
+) -> BatchSolution:
+    """Solve a batch of k-sparse LAP instances with the Khosla auction
+    (finite termination on infeasible instances via the drop rule,
+    `ksparse.rs:181,218-220`) — the reference's own problem domain
+    (`ksparse.rs:9-19`), batched, which the sequential crate cannot
+    express.
+
+    ``columns[B, N, K]`` (int; −1 marks unused arc slots) and
+    ``values[B, N, K]`` give each person's arcs; all instances share
+    ``num_cols`` objects.  ``eps`` defaults to ``1 / num_cols``
+    (`ksparse.rs:164-168`).  Infeasible persons end up UNASSIGNED.
+    """
+    from .ops.padded import build_padded_problem
+
+    columns = np.asarray(columns)
+    values64 = np.asarray(values, dtype=np.float64)
+    if columns.ndim != 3 or columns.shape != values64.shape:
+        raise ValueError("columns/values must both be [B, N, K]")
+    b, n, k = columns.shape
+    m = int(num_cols)
+    if n > m:
+        raise ValueError("num_rows must be <= num_cols")
+    arc_mask = columns >= 0
+    if not arc_mask.any(axis=2).all():
+        raise ValueError("every person needs at least one arc")
+
+    work = values64 if maximize else -values64
+    eps_val = float(eps) if eps is not None else 1.0 / m
+    w_lo = np.where(arc_mask, work, np.inf).reshape(b, -1).min(axis=1)
+    w_hi = np.where(arc_mask, work, -np.inf).reshape(b, -1).max(axis=1)
+    thresholds = (m / 2.0) * (w_hi - w_lo + eps_val)  # ksparse.rs:181
+
+    # per-instance dual padded layouts, stacked with batch-max padding
+    probs = []
+    for bi in range(b):
+        mask_i = arc_mask[bi]
+        counts = mask_i.sum(axis=1).astype(np.int64)
+        cols_i = columns[bi][mask_i].astype(np.int64)
+        vals_i = work[bi][mask_i]
+        probs.append(build_padded_problem(
+            n, m, counts, cols_i, vals_i, dtype=dtype, to_device=False,
+        ))
+    kmax = max(p.row_cols.shape[0] for p in probs)
+    kcmax = max(p.col_persons.shape[0] for p in probs)
+
+    def stack(name, kdim, fill=0):
+        out = np.full(
+            (b, kdim) + getattr(probs[0], name).shape[1:],
+            fill, dtype=getattr(probs[0], name).dtype,
+        )
+        for bi, p in enumerate(probs):
+            a = getattr(p, name)
+            out[bi, : a.shape[0]] = a
+        return jnp.asarray(out)
+
+    row_cols = stack("row_cols", kmax)
+    row_vals = stack("row_vals", kmax)
+    row_mask = stack("row_mask", kmax, fill=False)
+    col_persons = stack("col_persons", kcmax)
+    col_mask = stack("col_mask", kcmax, fill=False)
+
+    np_dtype = np.dtype(dtype)
+    states = KhoslaState(
+        prices=jnp.zeros((b, m), dtype),
+        p2o=jnp.full((b, n), _INT_MAX, jnp.int32),
+        o2p=jnp.full((b, m), _INT_MAX, jnp.int32),
+        dropped=jnp.zeros((b, n), bool),
+        nits=jnp.zeros((b,), jnp.int32),
+    )
+    eps_s = np_dtype.type(eps_val)
+    thr_j = jnp.asarray(thresholds.astype(np_dtype))
+    rounds = 0
+    cur_chunk = min(chunk, 8)
+    while True:
+        states, alldone = _batch_chunk_sparse(
+            row_cols, row_vals, row_mask, col_persons, col_mask,
+            states, eps_s, thr_j, max_rounds, cur_chunk,
+        )
+        rounds += cur_chunk
+        if bool(alldone) or rounds >= max_rounds:
+            break
+        cur_chunk = min(chunk, cur_chunk * 2)
+
+    p2o_np = np.asarray(states.p2o)
+    assigned = p2o_np != UNASSIGNED
+    o2p = np.full((b, m), UNASSIGNED, dtype=np.int32)
+    rows, cols_idx = np.nonzero(assigned)
+    o2p[rows, p2o_np[rows, cols_idx]] = cols_idx
+    # objective from the original values: match each person's chosen
+    # column against its arc slots (unassigned persons contribute 0)
+    match = arc_mask & (columns == p2o_np[:, :, None])
+    objective = np.where(match, values64, 0.0).sum(axis=(1, 2))
+    return BatchSolution(
+        person_to_object=p2o_np,
+        object_to_person=o2p,
+        num_unassigned=(~assigned).sum(axis=1).astype(np.int32),
+        objective=objective,
+        eps=np.full(b, eps_val),
+        nits=np.asarray(states.nits),
+    )

@@ -132,10 +132,12 @@ def build_padded_problem(
     values: np.ndarray,
     dtype=np.float32,
     k_pad_multiple: int = 1,
+    to_device: bool = True,
 ) -> PaddedProblem:
     """Convert host CSR (reference layout, `solver.rs:41-106`) into the
-    dual padded layout.  Pure NumPy; output arrays are np (device transfer
-    happens on first jit use).
+    dual padded layout.  Pure NumPy; with ``to_device`` the arrays ship
+    to HBM once (host-driven solve loops would otherwise re-transfer
+    per dispatch); ``to_device=False`` keeps NumPy for batch stacking.
     """
     counts = np.asarray(j_counts, dtype=np.int64)
     cols = np.asarray(column_indices, dtype=np.int64)
@@ -199,6 +201,8 @@ def build_padded_problem(
         row_mask_t=np.ascontiguousarray(row_mask.T),
         **split,
     )
+    if not to_device:
+        return problem
     # ship to the device once — host-driven solve loops dispatch many
     # small programs against these arrays, and leaving them as NumPy
     # would re-transfer the whole problem on every dispatch

@@ -127,3 +127,53 @@ def test_batch_fr_integer_exact_large():
     for bi in range(b):
         for i, j in enumerate(sol.person_to_object[bi]):
             assert sol.object_to_person[bi, j] == i
+
+
+def test_batch_sparse_khosla_vs_oracle():
+    """Batched k-sparse mode (the reference's own domain, vmapped):
+    assignments must be eps-optimal vs the densified scipy oracle."""
+    from sparse_linear_assignment_tpu.batch import solve_batch_sparse
+
+    rng = np.random.default_rng(12)
+    b, n, m, k = 6, 24, 48, 5
+    columns = np.stack([
+        np.stack([
+            rng.choice(m, size=k, replace=False) for _ in range(n)
+        ]) for _ in range(b)
+    ]).astype(np.int32)
+    values = rng.uniform(1.0, 10.0, size=(b, n, k))
+
+    sol = solve_batch_sparse(columns, values, m, eps=0.5 / n)
+    assert np.all(sol.num_unassigned == 0)
+    for bi in range(b):
+        dense = np.full((n, m), 1e9)
+        for i in range(n):
+            dense[i, columns[bi, i]] = values[bi, i]
+        r, c = linear_sum_assignment(dense)
+        want = dense[r, c].sum()
+        assert sol.objective[bi] >= want - 1e-9
+        assert sol.objective[bi] <= want + n * sol.eps[bi] + 1e-6
+        # chosen columns must be real arcs
+        for i, j in enumerate(sol.person_to_object[bi]):
+            assert j in columns[bi, i]
+            assert sol.object_to_person[bi, j] == i
+
+
+def test_batch_sparse_infeasible_and_padding():
+    """Variable arc counts (−1 padding) and an infeasible instance:
+    the drop rule must terminate it with exactly one person unassigned."""
+    from sparse_linear_assignment_tpu.batch import solve_batch_sparse
+
+    # instance 0: feasible; instance 1: two persons share one object
+    columns = np.array([
+        [[0, 1], [1, -1]],
+        [[0, -1], [0, -1]],
+    ], dtype=np.int32)
+    values = np.array([
+        [[1.0, 2.0], [3.0, 0.0]],
+        [[1.0, 0.0], [2.0, 0.0]],
+    ])
+    sol = solve_batch_sparse(columns, values, 2, eps=0.25)
+    assert sol.num_unassigned[0] == 0
+    assert sol.num_unassigned[1] == 1
+    assert abs(sol.objective[0] - (1.0 + 3.0)) < 1e-9
