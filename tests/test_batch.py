@@ -177,3 +177,18 @@ def test_batch_sparse_infeasible_and_padding():
     assert sol.num_unassigned[0] == 0
     assert sol.num_unassigned[1] == 1
     assert abs(sol.objective[0] - (1.0 + 3.0)) < 1e-9
+
+
+def test_batched_lap_stage_and_device_costs():
+    import jax
+
+    lap = BatchedLAP(batch=2, num_rows=16, num_cols=16, solver="fr",
+                     dtype=np.float32)
+    rng = np.random.default_rng(9)
+    costs = rng.integers(1, 50, size=(2, 16, 16)).astype(np.float64)
+    dev = lap.stage(costs)
+    assert isinstance(dev, jax.Array)
+    sol = lap.solve(costs, costs_device=dev)
+    assert np.all(sol.num_unassigned == 0)
+    want = oracle_batch(costs)
+    np.testing.assert_allclose(sol.objective, want, atol=1e-9)
