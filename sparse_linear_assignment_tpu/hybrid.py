@@ -29,8 +29,10 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from .cpu_reference import khosla_finish_cpu
 from .ops.compact import LState, khosla_full_chunk
@@ -38,6 +40,57 @@ from .ops.padded import PaddedProblem
 from .solution import UNASSIGNED
 
 _INT_MAX = np.int32(UNASSIGNED)
+
+
+@jax.jit
+def _pack_lstate(state: LState):
+    """Pack the host-needed solve state into ONE int32 array
+    (p2o | o2p | dropped | price bits) — per-array readbacks each pay
+    the tunnel's latency, so the phase handoff crosses in one
+    transfer."""
+    n = state.p2o.shape[0]
+    m = state.o2p.shape[0]
+    w = max(n, m)
+
+    def pad_row(x):
+        return jnp.zeros((1, w), jnp.int32).at[0, : x.shape[0]].set(x)
+
+    rows = [
+        pad_row(state.p2o),
+        pad_row(state.o2p),
+        pad_row(state.dropped.astype(jnp.int32)),
+    ]
+    bits = lax.bitcast_convert_type(state.prices, jnp.int32)
+    if bits.ndim == 1:  # float32
+        rows.append(pad_row(bits))
+    else:  # float64 -> two int32 words
+        rows.append(pad_row(bits[:, 0]))
+        rows.append(pad_row(bits[:, 1]))
+    return jnp.concatenate(rows)
+
+
+def _unpack_lstate(packed: np.ndarray, n: int, m: int, dtype):
+    """Host-side inverse of :func:`_pack_lstate` (native-engine
+    conventions: -1 sentinels, uint8 dropped, f64 prices)."""
+    p2o = np.where(packed[0, :n] == _INT_MAX, -1, packed[0, :n]).astype(
+        np.int32
+    )
+    o2p = np.where(packed[1, :m] == _INT_MAX, -1, packed[1, :m]).astype(
+        np.int32
+    )
+    dropped = packed[2, :n].astype(np.uint8)
+    if np.dtype(dtype) == np.float32:
+        prices64 = (
+            np.ascontiguousarray(packed[3, :m])
+            .view(np.float32)
+            .astype(np.float64)
+        )
+    else:
+        bits = np.empty((m, 2), dtype=np.int32)
+        bits[:, 0] = packed[3, :m]
+        bits[:, 1] = packed[4, :m]
+        prices64 = np.ascontiguousarray(bits).view(np.float64)[:, 0].copy()
+    return p2o, o2p, dropped, np.ascontiguousarray(prices64)
 
 
 def khosla_solve_hybrid(
@@ -123,12 +176,10 @@ def khosla_solve_hybrid(
                 if active >= prev:
                     break  # bulk no longer progressing; hand to the tail
             tpu_rounds += int(state.nits)
-            prices64 = np.asarray(state.prices, dtype=np.float64)
-            p2o = np.asarray(state.p2o).astype(np.int32)
-            o2p = np.asarray(state.o2p).astype(np.int32)
-            p2o = np.where(p2o == _INT_MAX, -1, p2o)
-            o2p = np.where(o2p == _INT_MAX, -1, o2p)
-            dropped = np.asarray(state.dropped).astype(np.uint8)
+            packed = np.asarray(_pack_lstate(state))  # one readback
+            p2o, o2p, dropped, prices64 = _unpack_lstate(
+                packed, n, m, np_dtype
+            )
 
         # ---- native chain tail (exact sequential finish of the phase) ----
         cpu_pops += khosla_finish_cpu(
