@@ -707,8 +707,11 @@ def solve_batch_sharded(
     rows, cols_idx = np.nonzero(assigned)
     o2p[rows, p2o[rows, cols_idx]] = cols_idx
     safe = np.where(assigned, p2o, 0)
+    costs64 = costs if costs.dtype == np.float64 else costs.astype(
+        np.float64
+    )
     picked = np.take_along_axis(
-        costs.astype(np.float64), safe[:, :, None], axis=2
+        costs64, safe[:, :, None], axis=2
     )[:, :, 0]
     objective = np.where(assigned, picked, 0.0).sum(axis=1)
     return BatchSolution(
