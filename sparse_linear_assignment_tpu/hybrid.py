@@ -123,7 +123,7 @@ def khosla_solve_hybrid(
     w_min: float,
     w_max: float,
     scale: bool = True,
-    reduction_factor: float = 0.125,
+    reduction_factor: float = 0.03,
     tail_threshold: int = 65536,
     chunk: int = 4,
     start_prices=None,
@@ -131,6 +131,15 @@ def khosla_solve_hybrid(
     """Solve with TPU bulk rounds + native chain tails.
 
     ``start_prices`` warm-starts the price vector (SURVEY.md §5.4).
+    ``reduction_factor`` defaults to an aggressive 0.03 (5 ε-phases at
+    the headline span instead of 7 at the reference-style 0.125):
+    measured at n=1e5, the ~1 M extra native pops of the steeper ladder
+    cost far less than two more phases of host↔device round-trips
+    (docs/PERFORMANCE.md round-3 notes).  Every phase must COMPLETE
+    (TPU bulk + native tail) before the next ε reduction — leaving
+    intermediate phases unfinished to save host syncs was measured to
+    explode the final phase's pops 2.6 M → 357 M, because unconverged
+    prices forfeit the ladder's warm-start property.
     Returns ``(prices_f64, p2o, o2p, dropped, tpu_rounds, cpu_pops)``
     with the package's ``UNASSIGNED`` sentinel in the assignment arrays.
     """

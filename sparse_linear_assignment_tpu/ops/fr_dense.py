@@ -92,7 +92,18 @@ def fr_init(vals_t, eps, dtype=None):
 
 
 def _forward_sub(vals_t, prices, profits, p2o, o2p, eps, done):
-    """Unassigned persons bid for objects (dense, gather-free)."""
+    """Unassigned persons bid for objects (dense, gather-free).
+
+    Bids travel in **increment form**: every bidder for object j offers
+    ``bid = best_val − floor + eps = prices[j] + (best − floor + eps)``,
+    and since ``prices[j]`` is common to all of j's bidders, conflict
+    resolution can compare the per-person increment ``best − floor +
+    eps`` directly and the winner's price becomes ``prices[j] +
+    max_increment`` — one fewer [M, N] masked-max traversal than
+    recovering ``best_val`` (this is the hot kernel's per-round cost).
+    The ``won``/``displaced`` flags share a single coded reduction:
+    both indicator matrices are one-hot per column, so an f32 sum of
+    ``t_won + 2·t_disp`` recovers each bit exactly."""
     neg_inf = -jnp.inf
     m, n = vals_t.shape
     shape = (m, n)
@@ -106,33 +117,36 @@ def _forward_sub(vals_t, prices, profits, p2o, o2p, eps, done):
     best_j = jnp.min(jnp.where(is_best, j_iota, jnp.int32(m)), axis=0)
     sel = j_iota == best_j[None, :]
     second = jnp.max(jnp.where(sel, neg_inf, profit), axis=0)
-    best_val = jnp.max(
-        jnp.where(sel, vals_t, jnp.asarray(neg_inf, vals_t.dtype)), axis=0
-    )
     has_second = second != neg_inf
-    # profit the winner retains; bid = best_val − floor + eps
+    # profit the winner retains; price increment = best − floor + eps
     floor = jnp.where(has_second, second, best)
-    raw_bid = best_val - floor + eps
+    raw_inc = best - floor + eps
 
     bidding = unassigned & (best != neg_inf)
-    bid = jnp.where(bidding, raw_bid, neg_inf)
+    inc = jnp.where(bidding, raw_inc, neg_inf)
 
     # conflict resolution per object (smallest person id wins ties)
-    is_here = (best_j[None, :] == j_iota) & bidding[None, :]
-    eff = jnp.where(is_here, bid[None, :], neg_inf)
-    max_bid = jnp.max(eff, axis=1)                       # [M]
-    has_winner = max_bid != neg_inf
-    cand = jnp.where(is_here & (eff >= max_bid[:, None]), u_iota, _INT_MAX)
+    is_here = sel & bidding[None, :]
+    eff = jnp.where(is_here, inc[None, :], neg_inf)
+    max_inc = jnp.max(eff, axis=1)                       # [M]
+    has_winner = max_inc != neg_inf
+    cand = jnp.where(is_here & (eff >= max_inc[:, None]), u_iota, _INT_MAX)
     winner = jnp.min(cand, axis=1)                       # [M]
 
-    prices_new = jnp.where(has_winner, max_bid.astype(prices.dtype), prices)
+    prices_new = jnp.where(
+        has_winner, prices + max_inc.astype(prices.dtype), prices
+    )
     o2p_new = jnp.where(has_winner, winner, o2p)
 
-    won = jnp.any(is_here & (winner[:, None] == u_iota), axis=0)  # [N]
-    assigned = p2o != _INT_MAX
-    displaced = assigned & jnp.any(
-        (p2o[None, :] == j_iota) & has_winner[:, None], axis=0
+    # won (bit 0) and displaced (bit 1) in one coded f32 reduction
+    t_won = is_here & (winner[:, None] == u_iota)
+    t_disp = (p2o[None, :] == j_iota) & has_winner[:, None]
+    code = jnp.sum(
+        t_won.astype(jnp.float32) + 2.0 * t_disp.astype(jnp.float32),
+        axis=0,
     )
+    won = (code == 1.0) | (code == 3.0)                  # [N]
+    displaced = (p2o != _INT_MAX) & (code >= 2.0)
     p2o_new = jnp.where(won, best_j, jnp.where(displaced, _INT_MAX, p2o))
     # winner's dual: pi = floor − eps, making pi + p = a exact
     profits_new = jnp.where(
@@ -142,7 +156,13 @@ def _forward_sub(vals_t, prices, profits, p2o, o2p, eps, done):
 
 
 def _reverse_sub(vals_t, prices, profits, p2o, o2p, eps, done):
-    """Unassigned objects bid for persons by cutting their own price."""
+    """Unassigned objects bid for persons by cutting their own price.
+
+    Mirror of :func:`_forward_sub`'s increment form: all of person i's
+    bidders offer ``pi = profits[i] + (beta − rfloor + eps)``, so the
+    per-object increment resolves the conflict and the winner's profit
+    becomes ``profits[i] + max_increment``; ``won_obj``/``freed`` share
+    one coded f32 reduction (both indicators one-hot per row)."""
     neg_inf = -jnp.inf
     m, n = vals_t.shape
     shape = (m, n)
@@ -156,38 +176,39 @@ def _reverse_sub(vals_t, prices, profits, p2o, o2p, eps, done):
     best_i = jnp.min(jnp.where(is_beta, u_iota, jnp.int32(n)), axis=1)
     rsel = u_iota == best_i[:, None]
     gamma = jnp.max(jnp.where(rsel, neg_inf, rprof), axis=1)
-    rbest_val = jnp.max(
-        jnp.where(rsel, vals_t, jnp.asarray(neg_inf, vals_t.dtype)), axis=1
-    )
     has_gamma = gamma != neg_inf
     rfloor = jnp.where(has_gamma, gamma, beta)
-    # the person profit this object can offer
-    pi_cand = rbest_val - rfloor + eps
+    # the profit increment this object can offer its best person
+    pi_inc = beta - rfloor + eps
 
     bidding = free_obj & (beta != neg_inf)
-    rbid = jnp.where(bidding, pi_cand, neg_inf)
+    rinc = jnp.where(bidding, pi_inc, neg_inf)
 
     # conflict resolution per person (smallest object id wins ties)
-    is_here = (best_i[:, None] == u_iota) & bidding[:, None]
-    eff = jnp.where(is_here, rbid[:, None], neg_inf)
-    new_pi = jnp.max(eff, axis=0)                        # [N]
-    has_rw = new_pi != neg_inf
-    cand = jnp.where(is_here & (eff >= new_pi[None, :]), j_iota, _INT_MAX)
+    is_here = rsel & bidding[:, None]
+    eff = jnp.where(is_here, rinc[:, None], neg_inf)
+    max_inc = jnp.max(eff, axis=0)                       # [N]
+    has_rw = max_inc != neg_inf
+    cand = jnp.where(is_here & (eff >= max_inc[None, :]), j_iota, _INT_MAX)
     winner_obj = jnp.min(cand, axis=0)                   # [N]
 
-    won_obj = jnp.any(is_here & (winner_obj[None, :] == j_iota), axis=1)
+    # won_obj (bit 0) and freed (bit 1) in one coded f32 reduction
+    t_won = is_here & (winner_obj[None, :] == j_iota)
+    is_disp = has_rw & (p2o != _INT_MAX)
+    t_freed = (p2o[None, :] == j_iota) & is_disp[None, :]
+    code = jnp.sum(
+        t_won.astype(jnp.float32) + 2.0 * t_freed.astype(jnp.float32),
+        axis=1,
+    )
+    won_obj = (code == 1.0) | (code == 3.0)              # [M]
+    freed = code >= 2.0
     # winner cuts its price; pi + p = a exact for the new pair
     prices_new = jnp.where(
         won_obj, (rfloor - eps).astype(prices.dtype), prices
     )
-    profits_new = jnp.where(has_rw, new_pi.astype(profits.dtype), profits)
-
-    # persons displaced *from* their object free it
-    was_assigned = p2o != _INT_MAX
-    is_disp = has_rw & was_assigned
-    freed = jnp.any(
-        (p2o[None, :] == j_iota) & is_disp[None, :], axis=1
-    )  # [M]
+    profits_new = jnp.where(
+        has_rw, profits + max_inc.astype(profits.dtype), profits
+    )
     o2p_new = jnp.where(
         won_obj, best_i, jnp.where(freed, _INT_MAX, o2p)
     )

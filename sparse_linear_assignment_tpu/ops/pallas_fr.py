@@ -54,7 +54,9 @@ _STALL_K0 = np.int32(STALL_K0)
 
 def _forward_sub_v(vals, prices, pi, p2o, o2p, eps):
     """Forward sub-round; layouts vals [M,N], prices/o2p [M,1],
-    pi/p2o [1,N].  Mirrors fr_dense._forward_sub."""
+    pi/p2o [1,N].  Mirrors fr_dense._forward_sub (increment-form bids +
+    coded won/displaced reduction — see its docstring; one fewer [M,N]
+    masked-max traversal and one fewer [M,N] reduction per round)."""
     # dtype-typed scalar: a python-float -inf captured across lax.cond
     # branch jaxprs becomes an f64 binder, which Mosaic cannot lower
     neg_inf = vals.dtype.type(-np.inf)
@@ -70,35 +72,34 @@ def _forward_sub_v(vals, prices, pi, p2o, o2p, eps):
     )
     sel = j_iota == best_j
     second = jnp.max(jnp.where(sel, neg_inf, profit), axis=0, keepdims=True)
-    best_val = jnp.max(jnp.where(sel, vals, neg_inf), axis=0, keepdims=True)
     has_second = second != neg_inf
     floor = jnp.where(has_second, second, best)
-    raw_bid = best_val - floor + eps
+    raw_inc = best - floor + eps
 
     unassigned = p2o == _INT_MAX
-    bid = jnp.where(unassigned & (best != neg_inf), raw_bid, neg_inf)
+    bidding = unassigned & (best != neg_inf)
+    inc = jnp.where(bidding, raw_inc, neg_inf)
 
-    is_here = (best_j == j_iota) & (bid != neg_inf)
-    eff = jnp.where(is_here, bid, neg_inf)
-    max_bid = jnp.max(eff, axis=1, keepdims=True)             # [M, 1]
-    has_winner = max_bid != neg_inf
-    cand = jnp.where(is_here & (eff >= max_bid), u_iota, _INT_MAX)
+    is_here = sel & bidding
+    eff = jnp.where(is_here, inc, neg_inf)
+    max_inc = jnp.max(eff, axis=1, keepdims=True)             # [M, 1]
+    has_winner = max_inc != neg_inf
+    cand = jnp.where(is_here & (eff >= max_inc), u_iota, _INT_MAX)
     winner = jnp.min(cand, axis=1, keepdims=True)             # [M, 1]
 
-    prices_new = jnp.where(has_winner, max_bid, prices)
+    prices_new = jnp.where(has_winner, prices + max_inc, prices)
     o2p_new = jnp.where(has_winner, winner, o2p)
 
-    won = jnp.max(
-        (is_here & (winner == u_iota)).astype(jnp.int32),
+    # won (bit 0) and displaced (bit 1) in one coded f32 reduction
+    t_won = is_here & (winner == u_iota)
+    t_disp = (p2o == j_iota) & has_winner
+    code = jnp.sum(
+        t_won.astype(jnp.float32)
+        + jnp.float32(2.0) * t_disp.astype(jnp.float32),
         axis=0, keepdims=True,
-    ) > 0                                                     # [1, N]
-    assigned = p2o != _INT_MAX
-    displaced = assigned & (
-        jnp.max(
-            ((p2o == j_iota) & has_winner).astype(jnp.int32),
-            axis=0, keepdims=True,
-        ) > 0
-    )
+    )                                                         # [1, N]
+    won = (code == jnp.float32(1.0)) | (code == jnp.float32(3.0))
+    displaced = (p2o != _INT_MAX) & (code >= jnp.float32(2.0))
     p2o_new = jnp.where(won, best_j, jnp.where(displaced, _INT_MAX, p2o))
     pi_new = jnp.where(won, floor - eps, pi)
     return prices_new, pi_new, p2o_new, o2p_new
@@ -106,7 +107,8 @@ def _forward_sub_v(vals, prices, pi, p2o, o2p, eps):
 
 def _reverse_sub_v(vals, prices, pi, p2o, o2p, eps):
     """Reverse sub-round (free objects cut their price to bid for
-    persons); mirrors fr_dense._reverse_sub."""
+    persons); mirrors fr_dense._reverse_sub (increment form + coded
+    won/freed reduction)."""
     neg_inf = vals.dtype.type(-np.inf)
     m, n = vals.shape
     j_iota = lax.broadcasted_iota(jnp.int32, (m, n), 0)
@@ -120,34 +122,34 @@ def _reverse_sub_v(vals, prices, pi, p2o, o2p, eps):
     )
     rsel = u_iota == best_i
     gamma = jnp.max(jnp.where(rsel, neg_inf, rprof), axis=1, keepdims=True)
-    rbest_val = jnp.max(jnp.where(rsel, vals, neg_inf), axis=1, keepdims=True)
     has_gamma = gamma != neg_inf
     rfloor = jnp.where(has_gamma, gamma, beta)
-    pi_cand = rbest_val - rfloor + eps
+    pi_inc = beta - rfloor + eps
 
     free_obj = o2p == _INT_MAX
-    rbid = jnp.where(free_obj & (beta != neg_inf), pi_cand, neg_inf)
+    bidding = free_obj & (beta != neg_inf)
+    rinc = jnp.where(bidding, pi_inc, neg_inf)
 
-    is_here = (best_i == u_iota) & (rbid != neg_inf)
-    eff = jnp.where(is_here, rbid, neg_inf)
-    new_pi = jnp.max(eff, axis=0, keepdims=True)              # [1, N]
-    has_rw = new_pi != neg_inf
-    cand = jnp.where(is_here & (eff >= new_pi), j_iota, _INT_MAX)
+    is_here = rsel & bidding
+    eff = jnp.where(is_here, rinc, neg_inf)
+    max_inc = jnp.max(eff, axis=0, keepdims=True)             # [1, N]
+    has_rw = max_inc != neg_inf
+    cand = jnp.where(is_here & (eff >= max_inc), j_iota, _INT_MAX)
     winner_obj = jnp.min(cand, axis=0, keepdims=True)         # [1, N]
 
-    won_obj = jnp.max(
-        (is_here & (winner_obj == j_iota)).astype(jnp.int32),
+    # won_obj (bit 0) and freed (bit 1) in one coded f32 reduction
+    t_won = is_here & (winner_obj == j_iota)
+    is_disp = has_rw & (p2o != _INT_MAX)                      # [1, N]
+    t_freed = (p2o == j_iota) & is_disp
+    code = jnp.sum(
+        t_won.astype(jnp.float32)
+        + jnp.float32(2.0) * t_freed.astype(jnp.float32),
         axis=1, keepdims=True,
-    ) > 0                                                     # [M, 1]
+    )                                                         # [M, 1]
+    won_obj = (code == jnp.float32(1.0)) | (code == jnp.float32(3.0))
+    freed = code >= jnp.float32(2.0)
     prices_new = jnp.where(won_obj, rfloor - eps, prices)
-    pi_new = jnp.where(has_rw, new_pi, pi)
-
-    was_assigned = p2o != _INT_MAX
-    is_disp = has_rw & was_assigned                           # [1, N]
-    freed = jnp.max(
-        ((p2o == j_iota) & is_disp).astype(jnp.int32),
-        axis=1, keepdims=True,
-    ) > 0                                                     # [M, 1]
+    pi_new = jnp.where(has_rw, pi + max_inc, pi)
     o2p_new = jnp.where(won_obj, best_i, jnp.where(freed, _INT_MAX, o2p))
     p2o_new = jnp.where(has_rw, winner_obj, p2o)
     return prices_new, pi_new, p2o_new, o2p_new

@@ -109,3 +109,33 @@ def test_kernel_solves_to_optimum_interpret():
         want = costs[bi][r, c].sum()
         got = costs[bi][np.arange(n), p2o[bi]].sum()
         assert abs(got - want) < 1e-6, (bi, got, want)
+
+
+def test_fused_straggler_continuation_interpret():
+    """One compiled program: main budget + on-device undone-first
+    compaction + small-bucket continuation must solve instances the
+    main budget alone leaves unfinished, with no host round-trip."""
+    from sparse_linear_assignment_tpu.batch import _fr_solve_fused
+
+    rng = np.random.default_rng(9)
+    b, n = 8, 128
+    costs = rng.integers(1, 100, size=(b, n, n)).astype(np.float64)
+    values_t = jnp.asarray(np.swapaxes(-costs, 1, 2).astype(np.float32))
+    eps = np.float32(1.0 / (n + 1))
+    s0 = _init_states(values_t, eps)
+
+    # a main budget short enough that some instances stay undone
+    short, _ = fr_chunk_pallas(values_t, s0, 48, interpret=True)
+    assert not bool(jnp.all(short.done)), "budget too generous for test"
+
+    states = _fr_solve_fused(values_t, s0, 48, 4, 640, interpret=True)
+    done = np.asarray(states.done)
+    p2o = np.asarray(states.p2o)
+    # every instance the bucket could cover must now be solved exactly
+    undone_after_main = int((~np.asarray(short.done)).sum())
+    assert done.sum() >= b - max(0, undone_after_main - 4)
+    for bi in np.nonzero(done)[0]:
+        r, c = linear_sum_assignment(costs[bi])
+        want = costs[bi][r, c].sum()
+        got = costs[bi][np.arange(n), p2o[bi]].sum()
+        assert abs(got - want) < 1e-6, (bi, got, want)
