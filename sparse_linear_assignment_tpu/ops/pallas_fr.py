@@ -189,23 +189,20 @@ def _fr_kernel(
         stall_k0,
     )
 
-    def body(_, carry):
-        prices, pi, p2o, o2p, mode, done, nits, since, stall_k = carry
+    def body(carry):
+        i, prices, pi, p2o, o2p, mode, done, nits, since, stall_k = carry
         # f32 cardinality count: integer jnp.sum/lax.reduce both pull
         # in int64 paths under x64, which Mosaic cannot lower; f32 sums
         # are exact far beyond any supported N
         card_old = jnp.sum((p2o != _INT_MAX).astype(jnp.float32))
         operand = (prices, pi, p2o, o2p)
 
-        def run(op):
-            return lax.cond(
-                mode,
-                lambda o: _forward_sub_v(vals, *o, eps),
-                lambda o: _reverse_sub_v(vals, *o, eps),
-                op,
-            )
-
-        prices, pi, p2o, o2p = lax.cond(done, lambda o: o, run, operand)
+        prices, pi, p2o, o2p = lax.cond(
+            mode,
+            lambda o: _forward_sub_v(vals, *o, eps),
+            lambda o: _reverse_sub_v(vals, *o, eps),
+            operand,
+        )
         card_new = jnp.sum((p2o != _INT_MAX).astype(jnp.float32))
         increased = card_new > card_old
         # stalled-phase preemption with doubling horizon (fr_dense)
@@ -219,12 +216,24 @@ def _fr_kernel(
         )
         nits = nits + (~done).astype(jnp.int32)
         done = done | (card_new == jnp.float32(n))
-        return (prices, pi, p2o, o2p, mode, done, nits, since, stall_k)
+        return (
+            i + jnp.int32(1),
+            prices, pi, p2o, o2p, mode, done, nits, since, stall_k,
+        )
 
-    # int32 loop bounds: under jax_enable_x64 python-int bounds make the
-    # induction variable i64, which Mosaic cannot lower
-    prices, pi, p2o, o2p, mode, done, nits, since, stall_k = lax.fori_loop(
-        jnp.int32(0), jnp.int32(rounds), body, carry
+    def keep_going(carry):
+        i = carry[0]
+        done = carry[6]
+        return (i < jnp.int32(rounds)) & ~done
+
+    # EARLY EXIT: a while_loop (not fori) so a finished instance leaves
+    # its grid step immediately instead of spinning no-op rounds for the
+    # rest of the budget (the done-check was a per-round lax.cond before;
+    # exiting is strictly cheaper and state-identical, since done rounds
+    # were no-ops).  int32 induction/bounds: python-int or i64 loop
+    # carries cannot be lowered by Mosaic under jax_enable_x64.
+    (_, prices, pi, p2o, o2p, mode, done, nits, since, stall_k) = (
+        lax.while_loop(keep_going, body, (jnp.int32(0),) + carry)
     )
 
     prices_out[:] = prices
