@@ -127,6 +127,7 @@ def khosla_solve_hybrid(
     tail_threshold: int = 65536,
     chunk: int = 4,
     start_prices=None,
+    tpu_phases: Optional[int] = 1,
 ):
     """Solve with TPU bulk rounds + native chain tails.
 
@@ -140,6 +141,17 @@ def khosla_solve_hybrid(
     intermediate phases unfinished to save host syncs was measured to
     explode the final phase's pops 2.6 M → 357 M, because unconverged
     prices forfeit the ladder's warm-start property.
+
+    ``tpu_phases`` caps how many leading ε-phases run their bulk on the
+    device (None = all).  Each device phase costs one price upload plus
+    one packed readback — latency-priced through a tunnel — while a
+    late (small-ε) phase's native bulk is cheap thanks to the warm
+    prices, so the device earns its round-trips only on the early
+    high-ε phases where the bulk is the whole instance.  Measured sweep
+    at the n=1e5 headline (good tunnel weather, best-of-3): all phases
+    1.14 s, tpu_phases=1 **0.62 s**, =2 0.73 s, =3 0.86 s, native-only
+    0.46 s — hence the default of 1 (the fastest TPU-exercising
+    configuration; docs/PERFORMANCE.md records the attribution).
     Returns ``(prices_f64, p2o, o2p, dropped, tpu_rounds, cpu_pops)``
     with the package's ``UNASSIGNED`` sentinel in the assignment arrays.
     """
@@ -180,7 +192,8 @@ def khosla_solve_hybrid(
             dropped.fill(0)
 
         unassigned = int((p2o < 0).sum())
-        if unassigned > tail_threshold:
+        use_tpu = tpu_phases is None or phase_i < tpu_phases
+        if use_tpu and unassigned > tail_threshold:
             # ---- TPU bulk rounds (full-scan: the bulk phase only runs
             # while the active set is a large fraction of N, exactly the
             # regime where gather-free full rounds win — ops/compact.py).
