@@ -118,10 +118,11 @@ def bench_config_b():
     return [row]
 
 
-def bench_dense_single(sizes=(512, 896)):
-    """Dense single instances: fused FR kernel (batch of 1) vs the
-    native sequential forward engine, same instance, same target ε
-    (1/n), integer costs so both reach the exact optimum."""
+def bench_dense_single(sizes=(512, 896, 1024, 2048, 4096)):
+    """Dense single instances: FR kernel (VMEM-resident to 896²,
+    streaming HBM kernel beyond — ops/pallas_fr_big.py) vs the native
+    sequential forward engine, same instance, same target ε (1/n),
+    integer costs so both reach the exact optimum."""
     import jax
     import jax.numpy as jnp
     from scipy.optimize import linear_sum_assignment

@@ -31,11 +31,20 @@ from .ops.auction import (
     khosla_round,
 )
 from .ops.dense import DenseProblem
-from .ops.fr_dense import STALL_K0, FRState, fr_round
+from .ops.fr_dense import STALL_K0, FRState, fr_init, fr_round
 from .ops.pallas_fr import fr_chunk_pallas
+from .ops.pallas_fr_big import fr_big_chunk
 from .solution import UNASSIGNED
 
 _INT_MAX = jnp.int32(UNASSIGNED)
+
+#: test hook — route the big-single streaming kernel through interpret
+#: mode on the CPU backend (tests/test_fr_big.py exercises the kernel
+#: itself; this exercises the driver routing end-to-end)
+_BIG_INTERPRET_ON_CPU = False
+#: bench hook — force big singles onto the XLA-rounds path for
+#: apples-to-apples kernel-vs-XLA comparisons
+_BIG_DISABLE = False
 
 
 @dataclasses.dataclass
@@ -181,6 +190,19 @@ def _stage_values_t(costs_dev, negate: bool):
     round layout (host-side transposes of 100+ MB cost seconds)."""
     x = -costs_dev if negate else costs_dev
     return jnp.swapaxes(x, 1, 2)
+
+
+@jax.jit
+def _fr_pack_single(state: FRState):
+    """Single-instance analogue of :func:`_fr_pack_results`:
+    ``[n + 2]`` = p2o | nits | done in one readback."""
+    return jnp.concatenate(
+        [
+            state.p2o,
+            state.nits[None],
+            state.done.astype(jnp.int32)[None],
+        ]
+    )
 
 
 @jax.jit
@@ -336,6 +358,62 @@ def _solve_batch_fr(
     out_eps = np.empty(b, np.float64)
     out_nits = np.empty(b, np.int32)
     orig = np.arange(b)
+
+    # single large square instance beyond the VMEM-resident kernel's
+    # limit: the streaming kernel (ops/pallas_fr_big.py) reads HBM once
+    # per round instead of ~15 XLA traversals (measured 22× per round
+    # at 1024²; the XLA path loses to the native CPU engine there)
+    big_interp = _BIG_INTERPRET_ON_CPU and jax.default_backend() == "cpu"
+    use_big = (
+        not _BIG_DISABLE
+        and np_dtype == np.float32
+        and b == 1
+        and n == m
+        and n % 256 == 0
+        and n * m > 896 * 896
+        and (jax.default_backend() not in ("cpu",) or big_interp)
+    )
+    if use_big:
+        # always no-ladder (start ε == target): ε-scaled FR phases
+        # livelock — at start ε = C/2 the first phase never completes
+        # (measured: card stuck at n−2 after 20k rounds; reverse bids
+        # at large ε keep re-opening the matching).  The no-ladder run
+        # certifies at the target by construction, whatever start_eps
+        # the caller picked (docs/PERFORMANCE.md "ε-scaling hurts FR").
+        vals1 = values_t[0]
+        st = fr_init(vals1, target_eps)
+        bm = 128 if n <= 4096 else 64
+        rounds = 0
+        while True:
+            budget = int(min(max_iterations - rounds, max(512, 2 * n)))
+            st, _ = fr_big_chunk(
+                vals1, st, budget, bm=bm, interpret=big_interp
+            )
+            packed = np.asarray(_fr_pack_single(st))
+            rounds = int(packed[n])
+            if packed[n + 1] or rounds >= max_iterations:
+                break
+        out_p2o[0] = packed[:n]
+        out_nits[0] = packed[n]
+        out_eps[0] = float(target_eps)
+        done = bool(packed[n + 1])
+        if not done and work_host is not None:
+            costs_host, maximize = work_host
+            row = np.asarray(costs_host[0], dtype=np.float64)
+            p2o_0, o2p_0, _ = _cpu_tail_forward(
+                row if maximize else -row, target_eps, max_iterations
+            )
+            out_p2o[0] = p2o_0
+            out_o2p[0] = o2p_0
+        else:
+            assigned = out_p2o[0] != UNASSIGNED
+            out_o2p[0] = UNASSIGNED
+            cls = np.nonzero(assigned)[0]
+            out_o2p[0, out_p2o[0, cls]] = cls
+        num_unassigned = (
+            (out_p2o == UNASSIGNED).sum(axis=1).astype(np.int32)
+        )
+        return out_p2o, out_o2p, num_unassigned, out_eps, out_nits
 
     states = _fr_batch_init(values_t, start_eps)
 
