@@ -129,6 +129,20 @@ def _fr_big_kernel(
     eps = pi_pad_in[1, 0]
     prices_ps[:] = prices_in[:]
     o2p_ps[:] = o2p_in[:]
+
+    def has_free(g):
+        """Any free object in block ``g``?  A scalar reduction over the
+        packed owner row — the block-skip predicate for reverse work.
+        In the endgame ε-war (measured: 1024² spends ~450 of 611 rounds
+        on ONE unassigned person) almost every block is idle in reverse
+        mode; skipping idle blocks' DMA and compute makes war rounds
+        ~G× cheaper.  Skips are exact no-ops: an idle block has no
+        bidders, so its conflict resolution and writes are identities
+        (pinned by the interpret-mode equivalence tests)."""
+        row = o2p_ps[pl.ds(g, 1), :]
+        return jnp.sum(
+            (row < dtype.type(0)).astype(jnp.float32)
+        ) > jnp.float32(0)
     carry = (
         jnp.int32(0),
         pi_pad_in[0:1, :],
@@ -238,20 +252,32 @@ def _fr_big_kernel(
             )
 
         def block_a(g, buf):
-            vals_blk = buf[:]
-            pl.when(mode)(lambda: fwd_a(g, vals_blk))
-            pl.when(~mode)(lambda: rev_a(g, vals_blk))
+            pl.when(mode)(lambda: fwd_a(g, buf[:]))
+            pl.when(~mode & has_free(g))(lambda: rev_a(g, buf[:]))
 
         def pair_a(gg, c):
             g0 = jnp.int32(2) * gg
             g1 = g0 + jnp.int32(1)
-            wait(g0, vbuf0, 0)
-            start(g1, vbuf1, 1)                        # g1 < G always
+            # fetch predicates: forward needs every block; reverse only
+            # blocks with free objects.  Block 0's fetch is issued
+            # unconditionally by the prologue/round epilogue, so its
+            # wait is unconditional too.  Skipped blocks skip start and
+            # wait under the SAME predicate (o2p_ps is not written
+            # during pass A), keeping the semaphore protocol balanced.
+            need0 = mode | has_free(g0) | (g0 == 0)
+            need1 = mode | has_free(g1)
+            pl.when(need0)(lambda: wait(g0, vbuf0, 0))
+            pl.when(need1)(lambda: start(g1, vbuf1, 1))  # g1 < G always
             block_a(g0, vbuf0)
-            wait(g1, vbuf1, 1)
-            pl.when(g1 + 1 < jnp.int32(g_blocks))(
-                lambda: start(g1 + jnp.int32(1), vbuf0, 0)
-            )
+            pl.when(need1)(lambda: wait(g1, vbuf1, 1))
+
+            def maybe_start_next():
+                g2 = g1 + jnp.int32(1)
+                pl.when(mode | has_free(g2))(
+                    lambda: start(g2, vbuf0, 0)
+                )
+
+            pl.when(g1 + 1 < jnp.int32(g_blocks))(maybe_start_next)
             block_a(g1, vbuf1)
             return c
 
@@ -339,8 +365,26 @@ def _fr_big_kernel(
             )
 
         def block_b(g, c):
-            pl.when(mode)(lambda: fwd_b(g))
-            pl.when(~mode)(lambda: rev_b(g))
+            bm_i = jnp.int32(bm)
+            # forward: only blocks holding some bidding person's best
+            # object have work (winner resolution, price/owner writes,
+            # code contributions are all gated on is_here)
+            inc = accf[_INC:_INC + 1, :]
+            best_j = acci[_BEST_J:_BEST_J + 1, :]
+            in_blk = (best_j >= g * bm_i) & (best_j < (g + 1) * bm_i)
+            fwd_need = jnp.sum(
+                (in_blk & (inc != neg_inf)).astype(jnp.float32)
+            ) > jnp.float32(0)
+            # reverse: blocks with a free (potentially bidding) object,
+            # or holding a displaced person's current object (freed)
+            acc_max = accf[_ACC_MAX:_ACC_MAX + 1, :]
+            rdisp = (acc_max != neg_inf) & (p2o != _INT_MAX)
+            p2o_in_blk = rdisp & (p2o >= g * bm_i) & (p2o < (g + 1) * bm_i)
+            rev_need = has_free(g) | (
+                jnp.sum(p2o_in_blk.astype(jnp.float32)) > jnp.float32(0)
+            )
+            pl.when(mode & fwd_need)(lambda: fwd_b(g))
+            pl.when(~mode & rev_need)(lambda: rev_b(g))
             return c
 
         lax.fori_loop(
