@@ -1,8 +1,10 @@
 from .sharded import (
     sharded_forward_core,
     sharded_fr_batch_core,
+    sharded_fr_dense_core,
     sharded_khosla_core,
     solve_batch_sharded,
+    solve_fr_dense_sharded,
     solve_sharded_forward,
     solve_sharded_khosla,
 )

@@ -39,6 +39,7 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops.fr_dense import STALL_K0 as _STALL_K0
 from ..solution import INDEX_DTYPE, UNASSIGNED
 from ..solver import AuctionSolver
 
@@ -578,6 +579,323 @@ def solve_sharded_forward(
     if hasattr(solver, "nits"):
         solver.nits = int(nits)
     return solution, int(nits)
+
+
+# ----------------------------------------------------------------------
+# Sharded single-instance dense forward-reverse auction
+# ----------------------------------------------------------------------
+def _merge_top2_sharded(axis, lbest, lsecond, larg):
+    """Merge device-local per-person top-2 results into the global
+    (best, second, arg) with pmax/pmin collectives (invariant outputs —
+    the replicated person-side state must stay provably replicated
+    under shard_map's varying-axes checking).  Devices hold contiguous
+    ascending object rows, so taking the minimum device index on ties
+    (then the device's own min-row arg) reproduces the single-device
+    smallest-row determinism rule exactly."""
+    d = lax.axis_size(axis)
+    idx = lax.axis_index(axis)
+    gbest = lax.pmax(lbest, axis)                              # [N]
+    dstar = lax.pmin(
+        jnp.where(lbest == gbest, idx, jnp.int32(d)), axis
+    )
+    mine = dstar == idx
+    # the selected device contributes its second; every other device's
+    # best is a second-place candidate (equal maxima land here too)
+    gsecond = lax.pmax(jnp.where(mine, lsecond, lbest), axis)
+    garg = lax.pmin(jnp.where(mine, larg, _INT_MAX), axis)
+    return gbest, gsecond, garg
+
+
+def _merge_max_sharded(axis, lmax, larg):
+    """Merge device-local per-person (max, argmin-row) pairs."""
+    d = lax.axis_size(axis)
+    idx = lax.axis_index(axis)
+    gmax = lax.pmax(lmax, axis)
+    dstar = lax.pmin(
+        jnp.where(lmax == gmax, idx, jnp.int32(d)), axis
+    )
+    garg = lax.pmin(
+        jnp.where(dstar == idx, larg, _INT_MAX), axis
+    )
+    return gmax, garg
+
+
+def _fr_round_sharded(vals_l, state):
+    """One forward-reverse round with the object dimension sharded.
+
+    ``vals_l [M/D, N]`` is this device's row slice; prices/o2p are
+    sharded with it; pi/p2o and all scalars are replicated.  Math is
+    identical to ``ops/fr_dense.fr_round`` (skip_certificate mode) —
+    the only collectives are all_gathers of [N] lane vectors for the
+    cross-shard top-2 / winner merges and one psum of the coded
+    won/displaced reduction.  Pinned bit-exact against the XLA rounds
+    by ``tests/test_sharded.py``."""
+    (prices_l, o2p_l, pi, p2o, forward_mode, done, nits, since,
+     stall_k, eps) = state
+    axis = "shard"
+    idx = lax.axis_index(axis)
+    ml, n = vals_l.shape
+    dtype = vals_l.dtype
+    neg_inf = dtype.type(-np.inf)
+
+    card_old = jnp.sum((p2o != _INT_MAX).astype(jnp.float32))
+
+    r_local = lax.broadcasted_iota(jnp.int32, (ml, n), 0)
+    u_iota = lax.broadcasted_iota(jnp.int32, (ml, n), 1)
+    r_global = r_local + idx * jnp.int32(ml)
+
+    def fwd(operand):
+        prices_l, o2p_l, pi, p2o, eps = operand
+        profit = vals_l - prices_l[:, None]
+        lbest = jnp.max(profit, axis=0)                        # [N]
+        lr = jnp.min(
+            jnp.where(profit == lbest[None, :], r_local, jnp.int32(ml)),
+            axis=0,
+        )
+        lsel = r_local == lr[None, :]
+        lsecond = jnp.max(jnp.where(lsel, neg_inf, profit), axis=0)
+        larg = lr + idx * jnp.int32(ml)
+        best, second, best_j = _merge_top2_sharded(
+            axis, lbest, lsecond, larg
+        )
+
+        floor = jnp.where(second != neg_inf, second, best)
+        bidding = (p2o == _INT_MAX) & (best != neg_inf)
+        inc = jnp.where(bidding, best - floor + eps, neg_inf)
+
+        local_j = best_j - idx * jnp.int32(ml)                 # [N]
+        is_here = (local_j[None, :] == r_local) & (inc[None, :] != neg_inf)
+        eff = jnp.where(is_here, inc[None, :], neg_inf)
+        max_inc = jnp.max(eff, axis=1)                         # [M/D]
+        has_winner = max_inc != neg_inf
+        cand = jnp.where(
+            is_here & (eff >= max_inc[:, None]), u_iota, _INT_MAX
+        )
+        winner = jnp.min(cand, axis=1)
+
+        prices_l = jnp.where(has_winner, prices_l + max_inc, prices_l)
+        o2p_l = jnp.where(has_winner, winner, o2p_l)
+
+        t_won = is_here & (winner[:, None] == u_iota)
+        t_disp = (p2o[None, :] == r_global) & has_winner[:, None]
+        code = lax.psum(
+            jnp.sum(
+                t_won.astype(jnp.float32)
+                + jnp.float32(2.0) * t_disp.astype(jnp.float32),
+                axis=0,
+            ),
+            axis,
+        )                                                      # [N]
+        won = (code == 1.0) | (code == 3.0)
+        displaced = (p2o != _INT_MAX) & (code >= 2.0)
+        p2o = jnp.where(won, best_j, jnp.where(displaced, _INT_MAX, p2o))
+        pi = jnp.where(won, (floor - eps).astype(pi.dtype), pi)
+        return prices_l, o2p_l, pi, p2o, eps
+
+    def rev(operand):
+        prices_l, o2p_l, pi, p2o, eps = operand
+        rprof = vals_l - pi[None, :]
+        beta = jnp.max(rprof, axis=1)                          # [M/D]
+        best_i = jnp.min(
+            jnp.where(rprof == beta[:, None], u_iota, jnp.int32(n)),
+            axis=1,
+        )
+        rsel = u_iota == best_i[:, None]
+        gamma = jnp.max(jnp.where(rsel, neg_inf, rprof), axis=1)
+        rfloor = jnp.where(gamma != neg_inf, gamma, beta)
+        pi_inc = beta - rfloor + eps
+
+        free = o2p_l == _INT_MAX
+        bidding = free & (beta != neg_inf)
+        rinc = jnp.where(bidding, pi_inc, neg_inf)
+
+        is_here = rsel & bidding[:, None]
+        eff = jnp.where(is_here, rinc[:, None], neg_inf)
+        lmax = jnp.max(eff, axis=0)                            # [N]
+        larg = jnp.min(
+            jnp.where(is_here & (eff >= lmax[None, :]), r_global, _INT_MAX),
+            axis=0,
+        )
+        max_inc, winner_obj = _merge_max_sharded(axis, lmax, larg)
+        has_rw = max_inc != neg_inf
+
+        t_won = is_here & (winner_obj[None, :] == r_global)
+        is_disp = has_rw & (p2o != _INT_MAX)
+        t_freed = (p2o[None, :] == r_global) & is_disp[None, :]
+        code = jnp.sum(
+            t_won.astype(jnp.float32)
+            + jnp.float32(2.0) * t_freed.astype(jnp.float32),
+            axis=1,
+        )                                                      # [M/D]
+        won_obj = (code == 1.0) | (code == 3.0)
+        freed = code >= 2.0
+        prices_l = jnp.where(
+            won_obj, (rfloor - eps).astype(prices_l.dtype), prices_l
+        )
+        o2p_l = jnp.where(
+            won_obj, best_i, jnp.where(freed, _INT_MAX, o2p_l)
+        )
+        pi = jnp.where(has_rw, pi + max_inc.astype(pi.dtype), pi)
+        p2o = jnp.where(has_rw, winner_obj, p2o)
+        return prices_l, o2p_l, pi, p2o, eps
+
+    def masked(sub):
+        """Run one sub-round; a done instance's state is an identity
+        (same masking rule as fr_round, scalar done)."""
+
+        def run(op):
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(done, a, b), op, sub(op)
+            )
+
+        return run
+
+    active = ~done
+    prices_l, o2p_l, pi, p2o, _ = lax.cond(
+        forward_mode,
+        masked(fwd),
+        masked(rev),
+        (prices_l, o2p_l, pi, p2o, eps),
+    )
+
+    card_new = jnp.sum((p2o != _INT_MAX).astype(jnp.float32))
+    increased = card_new > card_old
+    stall_flip = ~increased & (since + 1 >= stall_k) & active
+    forward_mode = forward_mode ^ ((increased | stall_flip) & active)
+    since = jnp.where(increased | stall_flip, jnp.int32(0), since + 1)
+    stall_k = jnp.where(
+        increased,
+        jnp.int32(_STALL_K0),
+        jnp.where(stall_flip, stall_k * 2, stall_k),
+    )
+    nits = nits + active.astype(jnp.int32)
+    done = done | (card_new == jnp.float32(p2o.shape[0]))
+    return (
+        prices_l, o2p_l, pi, p2o, forward_mode, done, nits, since,
+        stall_k, eps,
+    )
+
+
+def _fr_dense_chunk_shardmap(
+    vals_l, prices, o2p, pi, p2o, forward_mode, done, nits, since,
+    stall_k, eps, chunk,
+):
+    state = (
+        prices, o2p, pi, p2o, forward_mode, done, nits, since, stall_k,
+        eps,
+    )
+
+    def body(s, _):
+        return _fr_round_sharded(vals_l, s), None
+
+    state, _ = lax.scan(body, state, None, length=chunk)
+    return state
+
+
+@functools.lru_cache(maxsize=8)
+def sharded_fr_dense_core(mesh: Mesh, chunk: int = 64):
+    """Jitted multi-device chunk program for one dense instance with the
+    object dimension sharded (1-D mesh, axis ``"shard"``)."""
+    axis = mesh.axis_names[0]
+
+    fn = jax.shard_map(
+        functools.partial(_fr_dense_chunk_shardmap, chunk=chunk),
+        mesh=mesh,
+        in_specs=(
+            P(axis, None),  # vals_l [M, N] sharded on objects
+            P(axis),        # prices
+            P(axis),        # o2p
+            P(),            # pi
+            P(),            # p2o
+            P(), P(), P(), P(), P(), P(),
+        ),
+        out_specs=(
+            P(axis), P(axis), P(), P(), P(), P(), P(), P(), P(), P(),
+        ),
+    )
+    return jax.jit(fn)
+
+
+def solve_fr_dense_sharded(
+    costs,
+    mesh: Mesh,
+    maximize: bool = False,
+    eps: float | None = None,
+    dtype=np.float32,
+    max_iterations: int = 1_000_000,
+    chunk: int = 64,
+):
+    """Solve one dense symmetric instance ``costs[N, N]`` with the
+    forward-reverse auction, objects sharded over ``mesh``.
+
+    The multi-device form of the big-single dense path
+    (`batch.py` use_big / `ops/pallas_fr_big.py`): each device owns a
+    contiguous slice of object rows; per round the only cross-device
+    traffic is all_gathers of [N] lane vectors (top-2 / winner merges)
+    and one psum of the coded won/displaced reduction — a handful of
+    N-vectors over ICI against O(N²/D) local compute.  No ε-ladder
+    (start ε == target ε — the ladder livelocks FR,
+    docs/PERFORMANCE.md), so a full assignment is the certificate.
+    Returns ``(p2o, o2p, num_unassigned, nits, objective)``.
+    """
+    costs = np.asarray(costs)
+    n, m = costs.shape
+    if n != m:
+        raise ValueError("solve_fr_dense_sharded requires a square instance")
+    d = int(np.prod(mesh.devices.shape))
+    work = costs if maximize else -costs
+    vals_t = np.swapaxes(work.astype(dtype), 0, 1)  # [M, N]
+    m_pad = ((m + d - 1) // d) * d
+    if m_pad != m:
+        # padded object rows have -inf value: they never win a bid and
+        # never bid in reverse (beta = -inf)
+        vals_t = np.concatenate(
+            [vals_t, np.full((m_pad - m, n), -np.inf, dtype)], axis=0
+        )
+
+    np_dtype = np.dtype(dtype)
+    target_eps = np_dtype.type(
+        float(eps) if eps is not None else 1.0 / (n + 1)
+    )
+    axis = mesh.axis_names[0]
+    row_sh = NamedSharding(mesh, P(axis, None))
+    vec_sh = NamedSharding(mesh, P(axis))
+    rep_sh = NamedSharding(mesh, P())
+    vals_dev = jax.device_put(vals_t, row_sh)
+    prices = jax.device_put(np.zeros(m_pad, np_dtype), vec_sh)
+    o2p = jax.device_put(np.full(m_pad, UNASSIGNED, np.int32), vec_sh)
+    pi = jax.device_put(
+        np.max(vals_t, axis=0).astype(np_dtype), rep_sh
+    )
+    p2o = jax.device_put(np.full(n, UNASSIGNED, np.int32), rep_sh)
+    forward_mode = jnp.asarray(True)
+    done = jnp.asarray(False)
+    nits = jnp.asarray(np.int32(0))
+    since = jnp.asarray(np.int32(0))
+    stall_k = jnp.asarray(np.int32(_STALL_K0))
+    eps_s = jnp.asarray(target_eps)
+
+    core = sharded_fr_dense_core(mesh, chunk)
+    rounds = 0
+    while True:
+        (prices, o2p, pi, p2o, forward_mode, done, nits, since,
+         stall_k, eps_s) = core(
+            vals_dev, prices, o2p, pi, p2o, forward_mode, done, nits,
+            since, stall_k, eps_s,
+        )
+        rounds += chunk
+        if bool(done) or rounds >= max_iterations:
+            break
+
+    p2o_h = np.asarray(p2o)
+    o2p_h = np.asarray(o2p)[:m]
+    assigned = p2o_h != UNASSIGNED
+    safe = np.where(assigned, p2o_h, 0)
+    objective = float(
+        np.where(assigned, costs[np.arange(n), safe], 0.0).sum()
+    )
+    num_unassigned = int((~assigned).sum())
+    return p2o_h, o2p_h, num_unassigned, int(nits), objective
 
 
 # ----------------------------------------------------------------------

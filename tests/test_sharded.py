@@ -166,3 +166,62 @@ def test_sharded_batched_fr():
     for bi in range(b):
         for i, j in enumerate(sol.person_to_object[bi]):
             assert sol.object_to_person[bi, j] == i
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_fr_dense_matches_single_device(n_devices):
+    """Sharded dense FR must be bit-identical to the single-device XLA
+    rounds: the cross-shard top-2 / winner merges only reorder exact
+    max/min comparisons, so p2o, nits and the duals match exactly."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from sparse_linear_assignment_tpu.ops.fr_dense import fr_init, fr_round
+    from sparse_linear_assignment_tpu.parallel import solve_fr_dense_sharded
+
+    n = 96
+    rng = np.random.default_rng(21)
+    costs = rng.integers(1, 300, size=(n, n)).astype(np.float64)
+    mesh = make_mesh(n_devices)
+    p2o, o2p, num_unassigned, nits, objective = solve_fr_dense_sharded(
+        costs, mesh, chunk=16
+    )
+    assert num_unassigned == 0
+
+    r, c = linear_sum_assignment(costs)
+    assert objective == costs[r, c].sum()  # integer costs: exact optimum
+
+    # single-device reference run (same eps, same rounds semantics)
+    vals_t = jnp.asarray(-costs.T.astype(np.float32))
+    state = fr_init(vals_t, np.float32(1.0 / (n + 1)))
+
+    def body(s, _):
+        return fr_round(
+            vals_t, s, jnp.float32(s.eps), jnp.float32(0.0),
+            jnp.int32(10**9), skip_certificate=True,
+        ), None
+
+    rounds = ((nits + 15) // 16) * 16
+    state, _ = lax.scan(body, state, None, length=rounds)
+    np.testing.assert_array_equal(p2o, np.asarray(state.p2o))
+    assert nits == int(state.nits)
+
+    # inverse consistency
+    for i, j in enumerate(p2o):
+        assert o2p[j] == i
+
+
+def test_sharded_fr_dense_padding():
+    """Object count not divisible by the mesh size (padded -inf rows)."""
+    from sparse_linear_assignment_tpu.parallel import solve_fr_dense_sharded
+
+    n = 90  # not a multiple of 8
+    rng = np.random.default_rng(5)
+    costs = rng.integers(1, 100, size=(n, n)).astype(np.float64)
+    mesh = make_mesh(8)
+    p2o, o2p, num_unassigned, nits, objective = solve_fr_dense_sharded(
+        costs, mesh, chunk=16
+    )
+    assert num_unassigned == 0
+    r, c = linear_sum_assignment(costs)
+    assert objective == costs[r, c].sum()
