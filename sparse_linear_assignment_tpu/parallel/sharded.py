@@ -902,34 +902,47 @@ def solve_fr_dense_sharded(
 # Sharded batched solve (data parallelism over independent instances)
 # ----------------------------------------------------------------------
 def _fr_batch_chunk_local(values_t, states, target_eps, max_iterations,
-                          chunk: int):
+                          chunk: int, use_kernel: bool):
     """Per-device chunk of forward-reverse rounds over the local batch
     slice (instances are independent — the only collective is the
-    replicated all-done flag)."""
-    from ..ops.fr_dense import fr_round
+    replicated all-done flag).  ``use_kernel`` runs the fused VMEM-
+    resident multi-round kernel (ops/pallas_fr.py) on each device's
+    slice — the same per-chip program as the single-chip fast path, so
+    an 8-chip mesh scales its inst/s ~linearly; the XLA rounds remain
+    for CPU meshes and unsupported shapes."""
+    if use_kernel:
+        from ..ops.pallas_fr import fr_chunk_pallas
 
-    def one(vals_t, state):
-        def body(s, _):
-            return (
-                fr_round(
-                    vals_t, s, target_eps,
-                    jnp.asarray(0.0, vals_t.dtype),
-                    max_iterations, skip_certificate=True,
-                ),
-                None,
-            )
+        # the single-chip fused multi-round kernel on the local slice;
+        # finished instances leave their grid step early, so the large
+        # budget costs only the stragglers' rounds
+        states, _ = fr_chunk_pallas(values_t, states, chunk)
+    else:
+        from ..ops.fr_dense import fr_round
 
-        state, _ = lax.scan(body, state, None, length=chunk)
-        return state
+        def one(vals_t, state):
+            def body(s, _):
+                return (
+                    fr_round(
+                        vals_t, s, target_eps,
+                        jnp.asarray(0.0, vals_t.dtype),
+                        max_iterations, skip_certificate=True,
+                    ),
+                    None,
+                )
 
-    states = jax.vmap(one)(values_t, states)
+            state, _ = lax.scan(body, state, None, length=chunk)
+            return state
+
+        states = jax.vmap(one)(values_t, states)
     local_undone = jnp.sum((~states.done).astype(jnp.int32))
     undone = lax.psum(local_undone, "shard")
     return states, undone
 
 
 @functools.lru_cache(maxsize=8)
-def sharded_fr_batch_core(mesh: Mesh, chunk: int = 64):
+def sharded_fr_batch_core(mesh: Mesh, chunk: int = 64,
+                          use_kernel: bool = False):
     """Jitted multi-device batched forward-reverse chunk program: the
     batch dimension is sharded across the mesh, everything else is
     local.  This is the scaling dimension for batched throughput — an
@@ -939,13 +952,33 @@ def sharded_fr_batch_core(mesh: Mesh, chunk: int = 64):
     bspec = P(axis)
 
     fn = jax.shard_map(
-        functools.partial(_fr_batch_chunk_local, chunk=chunk),
+        functools.partial(
+            _fr_batch_chunk_local, chunk=chunk, use_kernel=use_kernel
+        ),
         mesh=mesh,
         # a single spec acts as a pytree prefix for the FRState arg
         in_specs=(bspec, bspec, P(), P()),
         out_specs=(bspec, P()),
+        # pallas_call's out_shapes carry no varying-axes info, which
+        # trips the checker when the kernel path runs inside shard_map;
+        # this core is batch-data-parallel with one psum — safe
+        check_vma=False,
     )
     return jax.jit(fn)
+
+
+@functools.partial(jax.jit, static_argnames=("negate", "b_pad"))
+def _stage_values_t_sharded(costs_dev, negate: bool, b_pad: int):
+    """Device-side staging: sign-adjust, transpose to [B, M, N] and pad
+    the batch with copies of instance 0 — one compiled program instead
+    of host-side work inside the timed region."""
+    x = -costs_dev if negate else costs_dev
+    b = x.shape[0]
+    if b_pad != b:
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(x[:1], (b_pad - b,) + x.shape[1:])]
+        )
+    return jnp.swapaxes(x, 1, 2)
 
 
 def solve_batch_sharded(
@@ -956,17 +989,22 @@ def solve_batch_sharded(
     dtype=np.float32,
     max_iterations: int = 100_000,
     chunk: int = 64,
+    costs_device=None,
 ):
     """Solve a batch of dense symmetric LAP instances ``costs[B, N, N]``
     sharded over ``mesh`` (forward-reverse engine, no ε-ladder).
 
     Pure data parallelism: instances never communicate; each device
-    runs lockstep rounds over its local slice.  ``B`` is padded to a
-    multiple of the mesh size with copies of instance 0 (their results
-    are dropped).  Returns a :class:`~..batch.BatchSolution`.
+    runs lockstep rounds over its local slice (the fused multi-round
+    kernel when the shape fits VMEM — the same per-chip program as the
+    single-chip fast path).  ``B`` is padded to a multiple of the mesh
+    size with copies of instance 0 (their results are dropped).
+    ``costs_device`` optionally supplies a pre-staged device copy of
+    the cost tensor (the criterion ``iter_batched`` protocol — staging
+    excluded from the timed region, as in ``batch.solve_batch``).
+    Returns a :class:`~..batch.BatchSolution`.
     """
-    from ..batch import BatchSolution
-    from ..ops.fr_dense import STALL_K0, FRState
+    from ..batch import BatchSolution, _fr_batch_init, _fr_pack_results
 
     costs = np.asarray(costs)
     b, n, m = costs.shape
@@ -974,42 +1012,49 @@ def solve_batch_sharded(
         raise ValueError("solve_batch_sharded requires square instances")
     d = int(np.prod(mesh.devices.shape))
     b_pad = ((b + d - 1) // d) * d
-    work = costs if maximize else -costs
-    work32 = work.astype(dtype)
-    if b_pad != b:
-        work32 = np.concatenate(
-            [work32, np.repeat(work32[:1], b_pad - b, axis=0)], axis=0
-        )
-    values_t = np.swapaxes(work32, 1, 2)  # [B, M, N]
 
     target_eps = np.dtype(dtype).type(
         float(eps) if eps is not None else 1.0 / n
     )
     axis = mesh.axis_names[0]
     bsh = NamedSharding(mesh, P(axis))
-    values_t = jax.device_put(values_t, bsh)
-    states = FRState(
-        prices=jax.device_put(np.zeros((b_pad, m), dtype), bsh),
-        profits=jnp.max(values_t, axis=1),
-        p2o=jax.device_put(
-            np.full((b_pad, n), UNASSIGNED, np.int32), bsh
-        ),
-        o2p=jax.device_put(
-            np.full((b_pad, m), UNASSIGNED, np.int32), bsh
-        ),
-        eps=jax.device_put(np.full(b_pad, target_eps, dtype), bsh),
-        forward_mode=jax.device_put(np.ones(b_pad, bool), bsh),
-        since_inc=jax.device_put(np.zeros(b_pad, np.int32), bsh),
-        stall_k=jax.device_put(
-            np.full(b_pad, STALL_K0, np.int32), bsh
-        ),
-        nits=jax.device_put(np.zeros(b_pad, np.int32), bsh),
-        nreductions=jax.device_put(np.zeros(b_pad, np.int32), bsh),
-        optimal_found=jax.device_put(np.zeros(b_pad, bool), bsh),
-        done=jax.device_put(np.zeros(b_pad, bool), bsh),
+    if costs_device is None:
+        work = costs if maximize else -costs
+        work32 = work.astype(dtype)
+        if b_pad != b:
+            work32 = np.concatenate(
+                [work32, np.repeat(work32[:1], b_pad - b, axis=0)],
+                axis=0,
+            )
+        values_t = jax.device_put(np.swapaxes(work32, 1, 2), bsh)
+    else:
+        values_t = jax.jit(
+            functools.partial(
+                _stage_values_t_sharded, negate=not maximize, b_pad=b_pad
+            ),
+            out_shardings=bsh,
+        )(costs_device.astype(dtype))
+    # on-device state init sharded like the values (one program, no
+    # per-array host uploads)
+    states = _fr_batch_init(
+        values_t, jnp.full(b_pad, target_eps, dtype)
     )
 
-    core = sharded_fr_batch_core(mesh, chunk)
+    # same per-chip program as the single-chip fast path when the shape
+    # fits the VMEM-resident kernel (batch._solve_batch_fr's use_pallas)
+    use_kernel = bool(
+        np.dtype(dtype) == np.float32
+        and n % 128 == 0
+        and m % 8 == 0
+        and n * m <= 896 * 896
+        and jax.default_backend() not in ("cpu",)
+    )
+    if use_kernel:
+        # one-dispatch protocol (batch._solve_batch_fr fast path): a
+        # large fused budget + on-device continuation per device, then
+        # rare extra dispatches for stragglers
+        chunk = int(min(max_iterations, max(96, n + n // 4)))
+    core = sharded_fr_batch_core(mesh, chunk, use_kernel)
     maxit = jnp.asarray(np.int32(max_iterations))
     rounds = 0
     while True:
@@ -1018,8 +1063,11 @@ def solve_batch_sharded(
         if int(undone) == 0 or rounds >= max_iterations:
             break
 
-    p2o = np.asarray(states.p2o)[:b]
-    nits = np.asarray(states.nits)[:b]
+    # ONE packed readback (p2o | nits | done) — per-array readbacks
+    # each pay the tunnel's ~240 ms latency
+    packed = np.asarray(_fr_pack_results(states))
+    p2o = packed[:b, :n]
+    nits = packed[:b, n]
     assigned = p2o != UNASSIGNED
     o2p = np.full((b, m), UNASSIGNED, dtype=np.int32)
     rows, cols_idx = np.nonzero(assigned)
