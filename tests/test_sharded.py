@@ -225,3 +225,28 @@ def test_sharded_fr_dense_padding():
     assert num_unassigned == 0
     r, c = linear_sum_assignment(costs)
     assert objective == costs[r, c].sum()
+
+
+def test_sharded_batched_fr_device_staged():
+    """costs_device staging path (device-side sign/transpose/pad with
+    sharded out_shardings) matches the host-staged result."""
+    import jax.numpy as jnp
+
+    from sparse_linear_assignment_tpu.parallel.sharded import (
+        solve_batch_sharded,
+    )
+
+    rng = np.random.default_rng(33)
+    b, n = 5, 64
+    costs = rng.integers(1, 500, size=(b, n, n)).astype(np.float64)
+    mesh = make_mesh(2)
+    dev = jnp.asarray(costs)
+    sol = solve_batch_sharded(
+        costs, mesh, dtype=np.float64, costs_device=dev
+    )
+    ref = solve_batch_sharded(costs, mesh, dtype=np.float64)
+    assert np.all(sol.num_unassigned == 0)
+    np.testing.assert_array_equal(
+        sol.person_to_object, ref.person_to_object
+    )
+    np.testing.assert_array_equal(sol.objective, ref.objective)
