@@ -126,6 +126,38 @@ def bench_batched(batch=512, repeats=3):
     return best
 
 
+def bench_dense_single(n=2048, repeats=3):
+    """Single dense instance through the streaming FR kernel
+    (ops/pallas_fr_big.py) vs the native engine — the regime where the
+    TPU wins outright (BASELINE.md dense rows)."""
+    import jax
+    import jax.numpy as jnp
+    from sparse_linear_assignment_tpu.batch import (
+        _cpu_tail_forward,
+        solve_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    costs = rng.integers(1, 1000, size=(1, n, n)).astype(np.float64)
+    dev = jnp.asarray(costs.astype(np.float32))
+    jax.block_until_ready(dev)
+    best = None
+    for _ in range(repeats + 1):
+        t0 = time.perf_counter()
+        sol = solve_batch(costs, solver="fr", dtype=np.float32,
+                          costs_device=dev)
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    assert int(sol.num_unassigned.sum()) == 0
+    t0 = time.perf_counter()
+    p2o_cpu, _, _ = _cpu_tail_forward(-costs[0], 1.0 / n, 10_000_000)
+    t_cpu = time.perf_counter() - t0
+    obj_cpu = float(costs[0][np.arange(n), p2o_cpu].sum())
+    assert abs(float(sol.objective[0]) - obj_cpu) < 1e-6
+    log(f"dense {n}x{n} single: TPU {best:.3f}s vs native {t_cpu:.3f}s "
+        f"({t_cpu / best:.1f}x, streaming FR kernel, identical objective)")
+
+
 def main():
     speedup = bench_headline()
     try:
@@ -134,6 +166,10 @@ def main():
             f"(north star 10k/s)")
     except Exception as e:  # batched is secondary; don't fail the bench
         log(f"batched bench failed: {e!r}")
+    try:
+        bench_dense_single()
+    except Exception as e:  # secondary; don't fail the bench
+        log(f"dense single bench failed: {e!r}")
     print(json.dumps({
         "metric": "n1e5_k5_sparse_lap_speedup_vs_sequential_cpu",
         "value": round(speedup, 3),

@@ -342,14 +342,17 @@ def _solve_batch_fr(
         tail_count = min(128, 16 * ncores)
     # fused multi-round Pallas kernel (ops/pallas_fr.py): tile-aligned
     # f32 instances in the no-ladder mode; XLA rounds otherwise.  The
-    # whole instance plus round temporaries must fit scoped VMEM
-    # (measured: 1024×1024 f32 needs 17.7 MB vs the 16 MB limit).
+    # VMEM-resident kernel runs to 2048² with the raised vmem limit
+    # (the 16 MB scoped cap was a compiler default, not hardware —
+    # docs/PERFORMANCE.md), but the streaming kernel's idle-block
+    # skipping wins beyond ~1024² (measured: tie at 1024², streaming
+    # 2× at 2048²), so that is the crossover.
     use_pallas = (
         sfoe
         and np_dtype == np.float32
         and n % 128 == 0
         and m % 8 == 0
-        and n * m <= 896 * 896
+        and n * m <= 1024 * 1024
         and jax.default_backend() not in ("cpu",)
     )
 
@@ -369,8 +372,8 @@ def _solve_batch_fr(
         and np_dtype == np.float32
         and b == 1
         and n == m
-        and n % 256 == 0
-        and n * m > 896 * 896
+        and n % 128 == 0
+        and n * m > 1024 * 1024
         and (jax.default_backend() not in ("cpu",) or big_interp)
     )
     if use_big:
@@ -382,7 +385,10 @@ def _solve_batch_fr(
         # the caller picked (docs/PERFORMANCE.md "ε-scaling hurts FR").
         vals1 = values_t[0]
         st = fr_init(vals1, target_eps)
-        bm = 128 if n <= 4096 else 64
+        # block height: the DMA double buffer is pair-unrolled, so the
+        # block count n/bm must be even; beyond 4096 lanes the block
+        # temporaries need the smaller height anyway
+        bm = 128 if (n % 256 == 0 and n <= 4096) else 64
         rounds = 0
         while True:
             budget = int(min(max_iterations - rounds, max(512, 2 * n)))

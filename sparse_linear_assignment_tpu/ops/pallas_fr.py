@@ -299,6 +299,13 @@ def fr_rounds_pallas_flat(
     return pl.pallas_call(
         functools.partial(_fr_kernel, rounds=rounds),
         grid_spec=grid_spec,
+        # the 16 MB scoped-VMEM cap is a compiler default, not the
+        # hardware limit (v5e has 128 MB); raising it lets the
+        # VMEM-resident kernel cover instances past 896² (the in-kernel
+        # early exit pushed 896² to 16.12 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((b * m, 1), dtype),
             jax.ShapeDtypeStruct((b * 8, n), jnp.int32),

@@ -1046,7 +1046,7 @@ def solve_batch_sharded(
         np.dtype(dtype) == np.float32
         and n % 128 == 0
         and m % 8 == 0
-        and n * m <= 896 * 896
+        and n * m <= 1024 * 1024
         and jax.default_backend() not in ("cpu",)
     )
     if use_kernel:
