@@ -102,6 +102,10 @@ def _fr_big_kernel(
     besti_ps,       # [G, BM] f32 scratch (reverse targets, n = no bid)
     accf,           # [8, N] f32 scratch (best/second/acc_max/code/inc/floor)
     acci,           # [8, N] i32 scratch (best_j/acc_arg)
+    blkb_ps,        # [G, N] f32 scratch (cached per-block best profit)
+    blks_ps,        # [G, N] f32 scratch (cached per-block second)
+    blkr_ps,        # [G, N] i32 scratch (cached per-block argbest, global)
+    dirty_ps,       # [G, BM] f32 scratch (block price state stale?)
     sem,            # DMA semaphore pair
     *,
     rounds: int,
@@ -143,6 +147,26 @@ def _fr_big_kernel(
         return jnp.sum(
             (row < dtype.type(0)).astype(jnp.float32)
         ) > jnp.float32(0)
+
+    def dirty(g):
+        """Have block ``g``'s prices changed since its cached top-2 rows
+        were computed?  The forward-pass-A cache: per-block per-person
+        (best, second, argbest) persist in [G, N] scratch, and a block
+        is re-scanned only when pass B wrote one of its prices.  In the
+        endgame war 1–2 blocks change per round, so forward rounds drop
+        from a full matrix traversal to a couple of block scans plus a
+        [G, N] merge — exact, because profits depend on prices alone
+        and every price write marks its block."""
+        return jnp.sum(dirty_ps[pl.ds(g, 1), :]) > jnp.float32(0)
+
+    def mark_dirty(g, flag):
+        def set_row():
+            dirty_ps[pl.ds(g, 1), :] = jnp.ones((1, bm), jnp.float32)
+
+        pl.when(flag)(set_row)
+
+    # all caches stale on kernel entry (scratch does not survive calls)
+    dirty_ps[:] = jnp.ones((g_blocks, bm), jnp.float32)
     carry = (
         jnp.int32(0),
         pi_pad_in[0:1, :],
@@ -171,11 +195,12 @@ def _fr_big_kernel(
         acci[_BEST_J:_BEST_J + 1, :] = jnp.full((1, n), _INT_MAX, jnp.int32)
         acci[_ACC_ARG:_ACC_ARG + 1, :] = jnp.full((1, n), _INT_MAX, jnp.int32)
 
-        # ---- pass A: stream value blocks (one HBM traversal/round)
+        # ---- pass A: stream dirty value blocks (cached blocks skip
+        # DMA and compute entirely — see dirty())
         def fwd_a(g, vals_blk):
-            """Merge block g's per-person top-2 profits into the running
-            (best, second, best_j) accumulators; merge keeps the
-            smallest row on ties (the reference's determinism rule)."""
+            """Refresh block g's cached per-person top-2 (best, second,
+            argbest-as-global-row); within-block ties keep the smallest
+            row (the reference's determinism rule)."""
             r_local = lax.broadcasted_iota(jnp.int32, (bm, n), 0)
             prices_col = _to_col(prices_ps[pl.ds(g, 1), :])
             profit = vals_blk - prices_col
@@ -189,21 +214,35 @@ def _fr_big_kernel(
             blk_second = jnp.max(
                 jnp.where(sel, neg_inf, profit), axis=0, keepdims=True
             )
-            blk_j = blk_r + g * jnp.int32(bm)
+            blkb_ps[pl.ds(g, 1), :] = blk_best
+            blks_ps[pl.ds(g, 1), :] = blk_second
+            blkr_ps[pl.ds(g, 1), :] = blk_r + g * jnp.int32(bm)
+            dirty_ps[pl.ds(g, 1), :] = jnp.zeros((1, bm), jnp.float32)
 
-            best = accf[_BEST:_BEST + 1, :]
-            second = accf[_SECOND:_SECOND + 1, :]
-            best_j = acci[_BEST_J:_BEST_J + 1, :]
-            take = blk_best > best
-            acci[_BEST_J:_BEST_J + 1, :] = jnp.where(take, blk_j, best_j)
-            # the loser of (old best, block best) is a second candidate;
-            # an equal max in another row also lands in second
-            accf[_SECOND:_SECOND + 1, :] = jnp.where(
-                take,
-                jnp.maximum(best, blk_second),
-                jnp.maximum(second, blk_best),
+        def fwd_merge():
+            """Global top-2 from the [G, N] block caches (ties: the
+            earliest block — ascending global rows — then the block's
+            own min-row arg, reproducing the single-pass semantics)."""
+            bb = blkb_ps[:]
+            bs = blks_ps[:]
+            br = blkr_ps[:]
+            g_iota = lax.broadcasted_iota(jnp.int32, bb.shape, 0)
+            gbest = jnp.max(bb, axis=0, keepdims=True)
+            gstar = jnp.min(
+                jnp.where(bb == gbest, g_iota, jnp.int32(g_blocks)),
+                axis=0, keepdims=True,
             )
-            accf[_BEST:_BEST + 1, :] = jnp.maximum(best, blk_best)
+            sel = g_iota == gstar
+            # the selected block contributes its second; every other
+            # block's best is a candidate (equal maxima land here too)
+            accf[_SECOND:_SECOND + 1, :] = jnp.max(
+                jnp.where(sel, bs, bb), axis=0, keepdims=True
+            )
+            acci[_BEST_J:_BEST_J + 1, :] = jnp.min(
+                jnp.where(bb == gbest, br, _INT_MAX), axis=0,
+                keepdims=True,
+            )
+            accf[_BEST:_BEST + 1, :] = gbest
 
         def rev_a(g, vals_blk):
             """Block g's per-object reverse top-2 + cross-block merge of
@@ -251,21 +290,27 @@ def _fr_big_kernel(
                 jnp.where(bidding, best_i, jnp.int32(n)).astype(dtype)
             )
 
+        def need(g):
+            """Fetch/compute predicate for pass A: forward re-scans only
+            price-stale blocks (the top-2 cache covers the rest);
+            reverse only blocks with free objects."""
+            return (mode & dirty(g)) | (~mode & has_free(g))
+
         def block_a(g, buf):
-            pl.when(mode)(lambda: fwd_a(g, buf[:]))
+            pl.when(mode & dirty(g))(lambda: fwd_a(g, buf[:]))
             pl.when(~mode & has_free(g))(lambda: rev_a(g, buf[:]))
 
         def pair_a(gg, c):
             g0 = jnp.int32(2) * gg
             g1 = g0 + jnp.int32(1)
-            # fetch predicates: forward needs every block; reverse only
-            # blocks with free objects.  Block 0's fetch is issued
-            # unconditionally by the prologue/round epilogue, so its
-            # wait is unconditional too.  Skipped blocks skip start and
-            # wait under the SAME predicate (o2p_ps is not written
+            # Block 0's fetch is issued unconditionally by the
+            # prologue/round epilogue, so its wait is unconditional too.
+            # Skipped blocks skip start and wait under the SAME
+            # predicate (a block's dirty flag is only cleared by its own
+            # fwd_a, which runs after its wait; o2p_ps is not written
             # during pass A), keeping the semaphore protocol balanced.
-            need0 = mode | has_free(g0) | (g0 == 0)
-            need1 = mode | has_free(g1)
+            need0 = need(g0) | (g0 == 0)
+            need1 = need(g1)
             pl.when(need0)(lambda: wait(g0, vbuf0, 0))
             pl.when(need1)(lambda: start(g1, vbuf1, 1))  # g1 < G always
             block_a(g0, vbuf0)
@@ -273,9 +318,7 @@ def _fr_big_kernel(
 
             def maybe_start_next():
                 g2 = g1 + jnp.int32(1)
-                pl.when(mode | has_free(g2))(
-                    lambda: start(g2, vbuf0, 0)
-                )
+                pl.when(need(g2))(lambda: start(g2, vbuf0, 0))
 
             pl.when(g1 + 1 < jnp.int32(g_blocks))(maybe_start_next)
             block_a(g1, vbuf1)
@@ -284,6 +327,7 @@ def _fr_big_kernel(
         lax.fori_loop(
             jnp.int32(0), jnp.int32(g_blocks // 2), pair_a, jnp.int32(0)
         )
+        pl.when(mode)(fwd_merge)
 
         # ---- mid-round person-side prep (forward quantities; cheap
         # lane math, computed unconditionally — unused in reverse mode)
@@ -319,6 +363,9 @@ def _fr_big_kernel(
             o2p_col = _to_col(o2p_ps[pl.ds(g, 1), :])
             o2p_ps[pl.ds(g, 1), :] = _to_row(
                 jnp.where(has_winner, winner.astype(dtype), o2p_col)
+            )
+            mark_dirty(
+                g, jnp.sum(has_winner.astype(jnp.float32)) > jnp.float32(0)
             )
 
             t_won = is_here & (winner == u_iota)
@@ -362,6 +409,9 @@ def _fr_big_kernel(
                     won_obj, besti_col.astype(dtype),
                     jnp.where(freed, dtype.type(-1), o2p_col),
                 )
+            )
+            mark_dirty(
+                g, jnp.sum(won_obj.astype(jnp.float32)) > jnp.float32(0)
             )
 
         def block_b(g, c):
@@ -536,8 +586,18 @@ def fr_big_chunk(
             pltpu.VMEM((g, bm), dtype),
             pltpu.VMEM((8, n), dtype),
             pltpu.VMEM((8, n), jnp.int32),
+            pltpu.VMEM((g, n), dtype),
+            pltpu.VMEM((g, n), dtype),
+            pltpu.VMEM((g, n), jnp.int32),
+            pltpu.VMEM((g, bm), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # the block top-2 caches add 3 [G, N] buffers (~12 MB at
+        # 8192²/bm=64); the 16 MB scoped-VMEM cap is a compiler
+        # default, not hardware (docs/PERFORMANCE.md)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(vals_t, prices_p, o2p_p, p2o_pad, pi_pad)
 
