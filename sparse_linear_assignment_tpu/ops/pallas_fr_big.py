@@ -12,13 +12,17 @@ matrix in HBM and streams it through a double-buffered VMEM block pair
 once per round:
 
 - the matrix is split into ``G = M / BM`` row blocks ``[BM, N]``;
-- **pass A** streams the blocks (async DMA overlapped with compute)
-  and performs everything that needs values: the per-person top-2
-  profit merge (forward) or the per-object top-2 reverse profit and
-  cross-block winner merge (reverse);
+- **pass A** streams blocks (async DMA overlapped with compute) and
+  performs everything that needs values: refreshing the per-block
+  per-person top-2 caches (forward) or the per-object top-2 reverse
+  profit and cross-block winner merge (reverse).  Two skip layers keep
+  endgame ε-war rounds at 1–2 block scans: forward re-scans only
+  blocks whose prices changed (``dirty`` flags + persistent [G, N]
+  top-2 caches, merged globally in [G, N]), reverse visits only blocks
+  with free objects;
 - **pass B** loops the blocks again with NO value reads — conflict
   resolution and ownership updates only need the pass-A reductions,
-  iotas and broadcasts;
+  iotas and broadcasts — and marks the blocks whose prices it writes;
 - the round loop (`lax.while_loop`, in-kernel early exit on ``done``)
   and the mode/stall bookkeeping are identical to ``ops/pallas_fr.py``.
 
