@@ -362,15 +362,18 @@ def _solve_batch_fr(
     out_nits = np.empty(b, np.int32)
     orig = np.arange(b)
 
-    # single large square instance beyond the VMEM-resident kernel's
-    # limit: the streaming kernel (ops/pallas_fr_big.py) reads HBM once
-    # per round instead of ~15 XLA traversals (measured 22× per round
-    # at 1024²; the XLA path loses to the native CPU engine there)
+    # large square instances beyond the VMEM-resident kernel's limit:
+    # the streaming kernel (ops/pallas_fr_big.py) reads only changed
+    # HBM blocks per round instead of ~15 XLA traversals (the XLA path
+    # loses to the native CPU engine there).  Small batches of big
+    # instances loop it per instance — at these sizes one instance's
+    # rounds dwarf the per-solve dispatch cost, and lockstep XLA rounds
+    # would run every instance until the slowest finishes.
     big_interp = _BIG_INTERPRET_ON_CPU and jax.default_backend() == "cpu"
     use_big = (
         not _BIG_DISABLE
         and np_dtype == np.float32
-        and b == 1
+        and b <= 64
         and n == m
         and n % 128 == 0
         and n * m > 1024 * 1024
@@ -383,39 +386,39 @@ def _solve_batch_fr(
         # at large ε keep re-opening the matching).  The no-ladder run
         # certifies at the target by construction, whatever start_eps
         # the caller picked (docs/PERFORMANCE.md "ε-scaling hurts FR").
-        vals1 = values_t[0]
-        st = fr_init(vals1, target_eps)
         # block height: the DMA double buffer is pair-unrolled, so the
         # block count n/bm must be even; beyond 4096 lanes the block
         # temporaries need the smaller height anyway
         bm = 128 if (n % 256 == 0 and n <= 4096) else 64
-        rounds = 0
-        while True:
-            budget = int(min(max_iterations - rounds, max(512, 2 * n)))
-            st, _ = fr_big_chunk(
-                vals1, st, budget, bm=bm, interpret=big_interp
-            )
-            packed = np.asarray(_fr_pack_single(st))
-            rounds = int(packed[n])
-            if packed[n + 1] or rounds >= max_iterations:
-                break
-        out_p2o[0] = packed[:n]
-        out_nits[0] = packed[n]
-        out_eps[0] = float(target_eps)
-        done = bool(packed[n + 1])
-        if not done and work_host is not None:
-            costs_host, maximize = work_host
-            row = np.asarray(costs_host[0], dtype=np.float64)
-            p2o_0, o2p_0, _ = _cpu_tail_forward(
-                row if maximize else -row, target_eps, max_iterations
-            )
-            out_p2o[0] = p2o_0
-            out_o2p[0] = o2p_0
-        else:
-            assigned = out_p2o[0] != UNASSIGNED
-            out_o2p[0] = UNASSIGNED
-            cls = np.nonzero(assigned)[0]
-            out_o2p[0, out_p2o[0, cls]] = cls
+        for bi in range(b):
+            st = fr_init(values_t[bi], target_eps)
+            rounds = 0
+            while True:
+                budget = int(min(max_iterations - rounds, max(512, 2 * n)))
+                st, _ = fr_big_chunk(
+                    values_t[bi], st, budget, bm=bm, interpret=big_interp
+                )
+                packed = np.asarray(_fr_pack_single(st))
+                rounds = int(packed[n])
+                if packed[n + 1] or rounds >= max_iterations:
+                    break
+            out_p2o[bi] = packed[:n]
+            out_nits[bi] = packed[n]
+            out_eps[bi] = float(target_eps)
+            done = bool(packed[n + 1])
+            if not done and work_host is not None:
+                costs_host, maximize = work_host
+                row = np.asarray(costs_host[bi], dtype=np.float64)
+                p2o_i, o2p_i, _ = _cpu_tail_forward(
+                    row if maximize else -row, target_eps, max_iterations
+                )
+                out_p2o[bi] = p2o_i
+                out_o2p[bi] = o2p_i
+            else:
+                assigned = out_p2o[bi] != UNASSIGNED
+                out_o2p[bi] = UNASSIGNED
+                cls = np.nonzero(assigned)[0]
+                out_o2p[bi, out_p2o[bi, cls]] = cls
         num_unassigned = (
             (out_p2o == UNASSIGNED).sum(axis=1).astype(np.int32)
         )

@@ -75,8 +75,9 @@ def test_fr_big_matches_xla_rounds(n, bm):
 
 
 def test_big_single_routing(monkeypatch):
-    """solve_batch routes a single big square f32 instance through the
-    streaming kernel (no-ladder, interpret mode on CPU)."""
+    """solve_batch routes small batches of big square f32 instances
+    through the streaming kernel, one solve per instance (no-ladder,
+    interpret mode on CPU)."""
     from scipy.optimize import linear_sum_assignment
 
     from sparse_linear_assignment_tpu import batch as batch_mod
@@ -84,11 +85,12 @@ def test_big_single_routing(monkeypatch):
     monkeypatch.setattr(batch_mod, "_BIG_INTERPRET_ON_CPU", True)
     n = 1024
     rng = np.random.default_rng(3)
-    costs = rng.integers(1, 1000, size=(1, n, n)).astype(np.float64)
+    costs = rng.integers(1, 1000, size=(2, n, n)).astype(np.float64)
     sol = batch_mod.solve_batch(costs, solver="fr", dtype=np.float32)
     assert int(sol.num_unassigned.sum()) == 0
-    r, c = linear_sum_assignment(costs[0])
-    assert float(sol.objective[0]) == costs[0][r, c].sum()
+    for bi in range(2):
+        r, c = linear_sum_assignment(costs[bi])
+        assert float(sol.objective[bi]) == costs[bi][r, c].sum()
 
 
 def test_fr_big_optimal_vs_scipy():
