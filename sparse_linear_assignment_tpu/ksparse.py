@@ -104,14 +104,26 @@ class KhoslaSolver(AuctionSolver):
         # finite-termination threshold (`ksparse.rs:181`)
         price_threshold = (num_cols_f / 2.0) * (w_max - w_min + eps)
 
-        problem = build_padded_problem(
-            self.num_rows,
-            self.num_cols,
-            self.j_counts,
-            self.column_indices,
-            values,
-            dtype=self.dtype,
-        )
+        # instance-reuse: repeat solves on unchanged CSR state reuse the
+        # device-staged padded problem (the reference's capacity-reuse
+        # pattern, README.md:27-29; re-uploading ~tens of MB per solve
+        # costs seconds at this tunnel's worst ingress).  Identity of
+        # the frozen values array is the cache key: init()/builders
+        # clear it and a maximize re-flip allocates a new array.
+        staged = getattr(self, "_staged_problem", None)
+        meta = (np.dtype(self.dtype), self.num_rows, self.num_cols)
+        if staged is not None and staged[0] is values and staged[1] == meta:
+            problem = staged[2]
+        else:
+            problem = build_padded_problem(
+                self.num_rows,
+                self.num_cols,
+                self.j_counts,
+                self.column_indices,
+                values,
+                dtype=self.dtype,
+            )
+            self._staged_problem = (values, meta, problem)
         if compact is None:
             # Backend-aware default: on accelerator backends always use
             # the host-chunked slot-list engine — the `lax.while_loop` +
