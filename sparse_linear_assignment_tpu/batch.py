@@ -34,7 +34,7 @@ from .ops.dense import DenseProblem
 from .ops.fr_dense import STALL_K0, FRState, fr_init, fr_round
 from .ops.pallas_fr import fr_chunk_pallas
 from .ops.pallas_fr_big import fr_big_chunk
-from .solution import UNASSIGNED
+from .solution import UNASSIGNED, o2p_from_p2o
 
 _INT_MAX = jnp.int32(UNASSIGNED)
 
@@ -390,17 +390,21 @@ def _solve_batch_fr(
         # block count n/bm must be even; beyond 4096 lanes the block
         # temporaries need the smaller height anyway
         bm = 128 if (n % 256 == 0 and n <= 4096) else 64
+        # constant per-dispatch budget: 'rounds' is a static jit arg, so
+        # a varying remainder (e.g. min(max_iterations - rounds, ...))
+        # would force a fresh multi-minute kernel compile exactly on the
+        # pathological instance; the host cutoff below may overshoot
+        # max_iterations by at most one budget, which the kernel spends
+        # as cheap early-exited rounds once done
+        budget = int(min(max_iterations, max(512, 2 * n)))
         for bi in range(b):
             st = fr_init(values_t[bi], target_eps)
-            rounds = 0
             while True:
-                budget = int(min(max_iterations - rounds, max(512, 2 * n)))
                 st, _ = fr_big_chunk(
                     values_t[bi], st, budget, bm=bm, interpret=big_interp
                 )
                 packed = np.asarray(_fr_pack_single(st))
-                rounds = int(packed[n])
-                if packed[n + 1] or rounds >= max_iterations:
+                if packed[n + 1] or int(packed[n]) >= max_iterations:
                     break
             out_p2o[bi] = packed[:n]
             out_nits[bi] = packed[n]
@@ -415,10 +419,7 @@ def _solve_batch_fr(
                 out_p2o[bi] = p2o_i
                 out_o2p[bi] = o2p_i
             else:
-                assigned = out_p2o[bi] != UNASSIGNED
-                out_o2p[bi] = UNASSIGNED
-                cls = np.nonzero(assigned)[0]
-                out_o2p[bi, out_p2o[bi, cls]] = cls
+                out_o2p[bi] = o2p_from_p2o(out_p2o[bi], m)
         num_unassigned = (
             (out_p2o == UNASSIGNED).sum(axis=1).astype(np.int32)
         )
@@ -426,7 +427,7 @@ def _solve_batch_fr(
 
     states = _fr_batch_init(values_t, start_eps)
 
-    if use_pallas and work_host is not None and sfoe:
+    if use_pallas and work_host is not None:  # use_pallas implies sfoe
         # fast path: ONE fixed-budget multi-round kernel dispatch, ONE
         # packed readback, native-CPU tail for the stragglers.  The
         # ~240 ms-per-readback tunnel latency makes host-in-the-loop
@@ -452,10 +453,7 @@ def _solve_batch_fr(
         out_eps[:] = float(target_eps)
         # o2p from p2o host-side (the matching is a bijection on the
         # assigned pairs) — cheaper than reading it back
-        assigned = out_p2o != UNASSIGNED
-        out_o2p[:] = UNASSIGNED
-        rws, cls = np.nonzero(assigned)
-        out_o2p[rws, out_p2o[rws, cls]] = cls
+        out_o2p[:] = o2p_from_p2o(out_p2o, m)
         if len(undone) and rounds < max_iterations:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -858,9 +856,7 @@ def solve_batch(
     assigned = p2o_np != UNASSIGNED
     # reconstruct object_to_person from the final matching (keep-valid
     # phases leave o2p stale by design, see forward_round)
-    o2p = np.full((b, m), UNASSIGNED, dtype=np.int32)
-    rows, cols_idx = np.nonzero(assigned)
-    o2p[rows, p2o_np[rows, cols_idx]] = cols_idx
+    o2p = o2p_from_p2o(p2o_np, m)
     safe = np.where(assigned, p2o_np, 0)
     costs64 = costs if costs.dtype == np.float64 else costs.astype(
         np.float64
@@ -1063,9 +1059,7 @@ def solve_batch_sparse(
 
     p2o_np = np.asarray(states.p2o)
     assigned = p2o_np != UNASSIGNED
-    o2p = np.full((b, m), UNASSIGNED, dtype=np.int32)
-    rows, cols_idx = np.nonzero(assigned)
-    o2p[rows, p2o_np[rows, cols_idx]] = cols_idx
+    o2p = o2p_from_p2o(p2o_np, m)
     # objective from the original values: match each person's chosen
     # column against its arc slots (unassigned persons contribute 0)
     match = arc_mask & (columns == p2o_np[:, :, None])

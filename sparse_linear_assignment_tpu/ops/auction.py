@@ -66,11 +66,17 @@ def top2_profits(problem: PaddedProblem, prices: jnp.ndarray):
     """
     if isinstance(problem, DenseProblem):
         return _top2_profits_dense(problem, prices)
+    return top2_profits_arrays(
+        problem.row_cols, problem.row_vals, problem.row_mask, prices
+    )
+
+
+def top2_profits_arrays(row_cols, row_vals, row_mask, prices):
+    """Array form of the padded top-2 (also used by the sharded round
+    bodies on their person-shard slices, `parallel/sharded.py`)."""
     neg_inf = -jnp.inf
     profit = jnp.where(
-        problem.row_mask,
-        problem.row_vals - prices[problem.row_cols],
-        neg_inf,
+        row_mask, row_vals - prices[row_cols], neg_inf
     )  # [K, N]
     k = profit.shape[0]
     best = jnp.max(profit, axis=0)  # [N]
@@ -81,9 +87,9 @@ def top2_profits(problem: PaddedProblem, prices: jnp.ndarray):
     )  # first max
     sel = k_iota == best_k[None, :]
     second = jnp.max(jnp.where(sel, neg_inf, profit), axis=0)
-    best_col = jnp.max(jnp.where(sel, problem.row_cols, 0), axis=0)
+    best_col = jnp.max(jnp.where(sel, row_cols, 0), axis=0)
     best_val = jnp.max(
-        jnp.where(sel, problem.row_vals, jnp.asarray(neg_inf, profit.dtype)),
+        jnp.where(sel, row_vals, jnp.asarray(neg_inf, profit.dtype)),
         axis=0,
     )
     return best, second, best_col, best_val

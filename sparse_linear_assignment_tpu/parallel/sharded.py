@@ -39,8 +39,9 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops.auction import top2_profits_arrays
 from ..ops.fr_dense import STALL_K0 as _STALL_K0
-from ..solution import INDEX_DTYPE, UNASSIGNED
+from ..solution import INDEX_DTYPE, UNASSIGNED, o2p_from_p2o
 from ..solver import AuctionSolver
 
 _INT_MAX = jnp.int32(UNASSIGNED)
@@ -60,22 +61,8 @@ def _round_body(
 
     # ---- bidding on the local person shard ----
     prices_full = lax.all_gather(prices_sh, axis, tiled=True)  # [M]
-    profit = jnp.where(
-        row_mask, row_vals - prices_full[row_cols], -jnp.inf
-    )  # [K, N/D]
-    # masked-reduction top-2 (argmax/take_along_axis are slow paths on
-    # TPU, see ops/auction.py:top2_profits)
-    k = profit.shape[0]
-    best = jnp.max(profit, axis=0)
-    k_iota = lax.broadcasted_iota(jnp.int32, profit.shape, 0)
-    best_k = jnp.min(
-        jnp.where(profit == best[None, :], k_iota, jnp.int32(k)), axis=0
-    )
-    sel = k_iota == best_k[None, :]
-    second = jnp.max(jnp.where(sel, -jnp.inf, profit), axis=0)
-    best_col = jnp.max(jnp.where(sel, row_cols, 0), axis=0)
-    best_val = jnp.max(
-        jnp.where(sel, row_vals, jnp.asarray(-jnp.inf, profit.dtype)), axis=0
+    best, second, best_col, best_val = top2_profits_arrays(
+        row_cols, row_vals, row_mask, prices_full
     )
 
     active = (p2o_sh == UNASSIGNED) & ~dropped_sh
@@ -310,20 +297,8 @@ def _forward_round_body(
 
     # ---- bidding on the local person shard ----
     prices_full = lax.all_gather(prices_sh, axis, tiled=True)  # [M]
-    profit = jnp.where(
-        row_mask, row_vals - prices_full[row_cols], -jnp.inf
-    )  # [K, N/D]
-    k = profit.shape[0]
-    best = jnp.max(profit, axis=0)
-    k_iota = lax.broadcasted_iota(jnp.int32, profit.shape, 0)
-    best_k = jnp.min(
-        jnp.where(profit == best[None, :], k_iota, jnp.int32(k)), axis=0
-    )
-    sel = k_iota == best_k[None, :]
-    second = jnp.max(jnp.where(sel, -jnp.inf, profit), axis=0)
-    best_col = jnp.max(jnp.where(sel, row_cols, 0), axis=0)
-    best_val = jnp.max(
-        jnp.where(sel, row_vals, jnp.asarray(-jnp.inf, profit.dtype)), axis=0
+    best, second, best_col, best_val = top2_profits_arrays(
+        row_cols, row_vals, row_mask, prices_full
     )
 
     unassigned = (p2o_sh == UNASSIGNED) & person_valid & ~done
@@ -967,7 +942,6 @@ def sharded_fr_batch_core(mesh: Mesh, chunk: int = 64,
     return jax.jit(fn)
 
 
-@functools.partial(jax.jit, static_argnames=("negate", "b_pad"))
 def _stage_values_t_sharded(costs_dev, negate: bool, b_pad: int):
     """Device-side staging: sign-adjust, transpose to [B, M, N] and pad
     the batch with copies of instance 0 — one compiled program instead
@@ -979,6 +953,18 @@ def _stage_values_t_sharded(costs_dev, negate: bool, b_pad: int):
             [x, jnp.broadcast_to(x[:1], (b_pad - b,) + x.shape[1:])]
         )
     return jnp.swapaxes(x, 1, 2)
+
+
+@functools.lru_cache(maxsize=16)
+def _staging_core(bsh, negate: bool, b_pad: int):
+    """Cached jit wrapper for the sharded staging program — building a
+    fresh jax.jit object per call would re-trace every staged solve."""
+    return jax.jit(
+        functools.partial(
+            _stage_values_t_sharded, negate=negate, b_pad=b_pad
+        ),
+        out_shardings=bsh,
+    )
 
 
 def solve_batch_sharded(
@@ -1028,12 +1014,9 @@ def solve_batch_sharded(
             )
         values_t = jax.device_put(np.swapaxes(work32, 1, 2), bsh)
     else:
-        values_t = jax.jit(
-            functools.partial(
-                _stage_values_t_sharded, negate=not maximize, b_pad=b_pad
-            ),
-            out_shardings=bsh,
-        )(costs_device.astype(dtype))
+        values_t = _staging_core(bsh, not maximize, b_pad)(
+            costs_device.astype(dtype)
+        )
     # on-device state init sharded like the values (one program, no
     # per-array host uploads)
     states = _fr_batch_init(
@@ -1069,9 +1052,7 @@ def solve_batch_sharded(
     p2o = packed[:b, :n]
     nits = packed[:b, n]
     assigned = p2o != UNASSIGNED
-    o2p = np.full((b, m), UNASSIGNED, dtype=np.int32)
-    rows, cols_idx = np.nonzero(assigned)
-    o2p[rows, p2o[rows, cols_idx]] = cols_idx
+    o2p = o2p_from_p2o(p2o, m)
     safe = np.where(assigned, p2o, 0)
     costs64 = costs if costs.dtype == np.float64 else costs.astype(
         np.float64

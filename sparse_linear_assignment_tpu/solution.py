@@ -55,3 +55,18 @@ class AuctionSolution:
             num_unassigned=UNASSIGNED,
             eps=math.nan,
         )
+
+
+def o2p_from_p2o(p2o: np.ndarray, num_cols: int) -> np.ndarray:
+    """Reconstruct object→person from person→object host-side (the
+    matching is injective on assigned pairs, so the inverse is exact).
+    Accepts ``[N]`` or batched ``[B, N]``; unmatched objects get the
+    ``UNASSIGNED`` sentinel.  Used instead of reading o2p back from the
+    device — a second readback costs full tunnel latency."""
+    p2o = np.asarray(p2o)
+    batched = p2o.ndim == 2
+    p2o2 = p2o if batched else p2o[None, :]
+    o2p = np.full((p2o2.shape[0], num_cols), UNASSIGNED, dtype=np.int32)
+    rows, cols = np.nonzero(p2o2 != UNASSIGNED)
+    o2p[rows, p2o2[rows, cols]] = cols
+    return o2p if batched else o2p[0]
