@@ -70,7 +70,7 @@ def bench_headline():
     return cpu_time / best
 
 
-def bench_batched(batch=512, repeats=3):
+def bench_batched(batch=2048, repeats=2):
     """Batched 256×256 throughput on the forward-reverse engine.
 
     Timing protocol mirrors the reference bench (criterion iter_batched,
