@@ -50,7 +50,7 @@ def _assert_state_equal(a, b, what):
         ), (what, field)
 
 
-@pytest.mark.parametrize("n,bm", [(256, 128), (384, 64)])
+@pytest.mark.parametrize("n,bm", [(256, 128), (384, 64), (512, 128)])
 def test_fr_big_matches_xla_rounds(n, bm):
     rng = np.random.default_rng(5)
     costs = rng.integers(1, 200, size=(n, n)).astype(np.float32)
