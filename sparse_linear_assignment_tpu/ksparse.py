@@ -143,7 +143,19 @@ class KhoslaSolver(AuctionSolver):
                 raise ValueError(
                     f"start_prices must have shape ({self.num_cols},)"
                 )
-            compact = compact or not hybrid  # while_loop path has no warm entry
+            if self.num_rows != self.num_cols:
+                # asymmetric soundness: an ε-CS matching is only
+                # n·ε-optimal when every matching uses the same object
+                # set (the price sums cancel in the duality argument) —
+                # with more objects than persons, stale high prices on
+                # objects the previous matching happened to use steer
+                # the auction away from them and the certificate cannot
+                # see it (measured: 30 % excess objective).  Same reason
+                # the reference disables ε-scaling on asymmetric
+                # instances (`symmetric.rs:256-267`); run cold instead.
+                start_prices = None
+            else:
+                compact = compact or not hybrid  # while_loop has no warm entry
 
         if hybrid:
             from .hybrid import khosla_solve_hybrid

@@ -125,6 +125,12 @@ class ForwardAuctionSolver(AuctionSolver):
                 raise ValueError(
                     f"start_prices must have shape ({self.num_cols},)"
                 )
+            if self.num_rows != self.num_cols:
+                # asymmetric warm starts are unsound (stale prices on
+                # unused objects break the n·ε-optimality duality; see
+                # KhoslaSolver.solve) — run cold, same reason the
+                # reference disables ε-scaling here (symmetric.rs:256-267)
+                start_prices = None
         (
             prices,
             p2o,

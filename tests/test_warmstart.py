@@ -3,9 +3,12 @@
 The reference persists prices across ε-reduction restarts inside one
 solve (`symmetric.rs:290-324`); the TPU framework additionally exposes
 them as a solve argument so repeated solves of similar instances reuse
-the dual information.  ε-CS optimality at termination holds for any
-start prices, so the assertions here are oracle-checked objectives plus
-the round-count saving.
+the dual information.  On SYMMETRIC instances ε-CS optimality at
+termination holds for any start prices (every perfect matching uses
+all objects, so price sums cancel in the duality argument), and the
+assertions here are oracle-checked objectives plus the round-count
+saving.  On ASYMMETRIC instances warm starts are unsound and the
+solvers ignore them (see test_khosla_warmstart_asymmetric_ignored).
 """
 
 import numpy as np
@@ -96,3 +99,25 @@ def test_khosla_warmstart_shape_validation():
         assert "start_prices" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_khosla_warmstart_asymmetric_ignored():
+    """Warm prices on ASYMMETRIC instances are unsound (an ε-CS matching
+    is only n·ε-optimal when every matching uses the same object set;
+    stale prices on spare objects steer the auction away from optimal
+    arcs while the certificate still passes — measured 30 % excess
+    objective before the guard).  The solver must run cold instead and
+    stay oracle-optimal."""
+    from sparse_linear_assignment_tpu.generators import gen_ksparse_uniform
+
+    solver, solution = KhoslaSolver.new(50, 120, 50 * 6)
+    gen_ksparse_uniform(solver, 5, 50, 120, 6, max_value=9.0)
+    solver.solve(solution, maximize=False)
+    obj_cold = solver.get_objective(solution)
+    _oracle_bounds(solver, solution)
+    warm = solver.prices.copy()
+    solver.solve(solution, maximize=False, start_prices=warm)
+    _oracle_bounds(solver, solution)
+    assert abs(solver.get_objective(solution) - obj_cold) <= (
+        2 * 50 * solution.eps + 1e-9
+    )
