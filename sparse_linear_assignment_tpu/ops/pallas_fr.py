@@ -4,17 +4,37 @@ The XLA forward-reverse round (``ops/fr_dense.py``) costs ~15 HBM
 traversals of the ``[M, N]`` value matrix per round; at 512×256×256
 that is ~2.7 ms/round, and the round count (not the kernel) stops being
 the bottleneck.  This kernel runs **R rounds per grid step** with the
-whole instance resident in VMEM (256×256 f32 = 256 KB ≪ 16 MB): HBM
+whole instance resident in VMEM (256×256 f32 = 256 KB ≪ VMEM): HBM
 reads the values once per R rounds instead of ~15 times per round, and
 each round is pure VPU work on VMEM data.
 
-Grid = one step per instance.  All per-instance state rides in four
+Two structural choices target the measured per-round cost (the round-2
+budget-sweep probe showed ~1.0–1.2 µs marginal per instance-round
+against a 0.22 µs elementwise model — the gap is cross-lane/sublane
+*reduction latency*, docs/PERFORMANCE.md "Batched round structure"):
+
+- **One generic sub-round for both modes.**  Bertsekas' reverse
+  auction *is* the forward auction on the transposed matrix with the
+  dual roles swapped (prices ↔ profits, p2o ↔ o2p).  The kernel keeps
+  ``vals`` and ``valsᵀ`` both resident and runs a single straight-line
+  sub-round on mode-selected operands instead of branching between two
+  ``lax.cond`` bodies.  Straight-line rounds let Mosaic's scheduler
+  overlap independent work — which is what makes the next item pay.
+- **Instance interleaving (``group``)**: G instances share one grid
+  step; their rounds are data-independent, so G reduction chains
+  interleave and the serial reduction latency is hidden behind other
+  instances' vector work.  A finished instance's updates are masked
+  (bit-exact with running it alone); the whole group exits early once
+  every member is done.
+
+Grid = one step per instance group.  All per-instance state rides in
 tile-aligned arrays (flat stacked planes, same scheme as
 ``ops/pallas_dense.py``):
 
-- ``vals2   [B*M, N] f32`` — sign-adjusted value matrix (read-only)
-- ``prices2 [B*M, 1] f32``
-- ``o2p2    [B*M, 1] i32``
+- ``vals2    [B*M, N] f32`` — sign-adjusted value matrix (read-only)
+- ``vals_t2  [B*N, M] f32`` — its transpose (read-only; M == N)
+- ``prices2  [B*M, 1] f32``
+- ``o2p2     [B*M, 1] i32``
 - ``p2o_pad2 [B*8, N] i32`` — row 0: p2o; row 1 packs the per-instance
   scalars (lane 0 = nits, lane 1 = forward_mode, lane 2 = done)
 - ``pi_pad2  [B*8, N] f32`` — row 0: person profits π; row 1 lane 0 = ε
@@ -25,11 +45,10 @@ docs/PERFORMANCE.md item 5).
 
 Semantics are exactly ``fr_dense.fr_round`` with ``skip_certificate=
 True`` (the no-ladder mode: start ε == target ε, full assignment is the
-certificate): forward/reverse sub-round selected by the mode flag via a
-real branch (`lax.cond`, so finished/inactive work is skipped, not
-masked), mode flips on matching-cardinality increase, exact (π, p) dual
+certificate): forward/reverse sub-round selected by the mode flag,
+mode flips on matching-cardinality increase, exact (π, p) dual
 bookkeeping.  Equivalence is pinned by tests against the XLA rounds in
-interpret mode.
+interpret mode (including ``group > 1``).
 """
 
 from __future__ import annotations
@@ -52,19 +71,35 @@ _INT_MAX = np.int32(UNASSIGNED)
 _STALL_K0 = np.int32(STALL_K0)
 
 
-def _forward_sub_v(vals, prices, pi, p2o, o2p, eps):
-    """Forward sub-round; layouts vals [M,N], prices/o2p [M,1],
-    pi/p2o [1,N].  Mirrors fr_dense._forward_sub (increment-form bids +
-    coded won/displaced reduction — see its docstring; one fewer [M,N]
-    masked-max traversal and one fewer [M,N] reduction per round)."""
-    # dtype-typed scalar: a python-float -inf captured across lax.cond
-    # branch jaxprs becomes an f64 binder, which Mosaic cannot lower
-    neg_inf = vals.dtype.type(-np.inf)
-    m, n = vals.shape
+def _t(x):
+    """Vector transpose [S, 1] <-> [1, S] (square instances only)."""
+    return jnp.swapaxes(x, 0, 1)
+
+
+def _generic_sub(A, rowp, colpi, colp2o, rowo2p, eps):
+    """One bidding sub-round on ``A [S, S]``: columns are the bidding
+    side (persons in forward mode, objects in reverse mode), rows are
+    the priced side.  With transposed operands this is *exactly* the
+    reverse sub-round — the reverse auction is the forward auction of
+    the transposed problem (see module docstring); mirrors
+    fr_dense._forward_sub / _reverse_sub (increment-form bids + coded
+    won/displaced reduction — one fewer [S, S] masked-max traversal and
+    one fewer [S, S] reduction per round than the naive forms).
+
+    Returns the updated (rowp, colpi, colp2o, rowo2p) plus the
+    cardinality delta of the round as one fused f32 scalar reduction
+    (#newly-matched − #displaced; the two indicator vectors are
+    disjoint), so the caller carries cardinality instead of recounting
+    the matching every round.
+    """
+    # dtype-typed scalar: a python-float -inf captured across traced
+    # jaxprs becomes an f64 binder, which Mosaic cannot lower
+    neg_inf = A.dtype.type(-np.inf)
+    m, n = A.shape
     j_iota = lax.broadcasted_iota(jnp.int32, (m, n), 0)
     u_iota = lax.broadcasted_iota(jnp.int32, (m, n), 1)
 
-    profit = vals - prices
+    profit = A - rowp
     best = jnp.max(profit, axis=0, keepdims=True)            # [1, N]
     is_best = profit == best
     best_j = jnp.min(
@@ -76,7 +111,7 @@ def _forward_sub_v(vals, prices, pi, p2o, o2p, eps):
     floor = jnp.where(has_second, second, best)
     raw_inc = best - floor + eps
 
-    unassigned = p2o == _INT_MAX
+    unassigned = colp2o == _INT_MAX
     bidding = unassigned & (best != neg_inf)
     inc = jnp.where(bidding, raw_inc, neg_inf)
 
@@ -87,222 +122,243 @@ def _forward_sub_v(vals, prices, pi, p2o, o2p, eps):
     cand = jnp.where(is_here & (eff >= max_inc), u_iota, _INT_MAX)
     winner = jnp.min(cand, axis=1, keepdims=True)             # [M, 1]
 
-    prices_new = jnp.where(has_winner, prices + max_inc, prices)
-    o2p_new = jnp.where(has_winner, winner, o2p)
+    rowp_new = jnp.where(has_winner, rowp + max_inc, rowp)
+    rowo2p_new = jnp.where(has_winner, winner, rowo2p)
 
     # won (bit 0) and displaced (bit 1) in one coded f32 reduction
     t_won = is_here & (winner == u_iota)
-    t_disp = (p2o == j_iota) & has_winner
+    t_disp = (colp2o == j_iota) & has_winner
     code = jnp.sum(
         t_won.astype(jnp.float32)
         + jnp.float32(2.0) * t_disp.astype(jnp.float32),
         axis=0, keepdims=True,
     )                                                         # [1, N]
     won = (code == jnp.float32(1.0)) | (code == jnp.float32(3.0))
-    displaced = (p2o != _INT_MAX) & (code >= jnp.float32(2.0))
-    p2o_new = jnp.where(won, best_j, jnp.where(displaced, _INT_MAX, p2o))
-    pi_new = jnp.where(won, floor - eps, pi)
-    return prices_new, pi_new, p2o_new, o2p_new
-
-
-def _reverse_sub_v(vals, prices, pi, p2o, o2p, eps):
-    """Reverse sub-round (free objects cut their price to bid for
-    persons); mirrors fr_dense._reverse_sub (increment form + coded
-    won/freed reduction)."""
-    neg_inf = vals.dtype.type(-np.inf)
-    m, n = vals.shape
-    j_iota = lax.broadcasted_iota(jnp.int32, (m, n), 0)
-    u_iota = lax.broadcasted_iota(jnp.int32, (m, n), 1)
-
-    rprof = vals - pi                                         # [M, N]
-    beta = jnp.max(rprof, axis=1, keepdims=True)              # [M, 1]
-    is_beta = rprof == beta
-    best_i = jnp.min(
-        jnp.where(is_beta, u_iota, jnp.int32(n)), axis=1, keepdims=True
+    displaced = (colp2o != _INT_MAX) & (code >= jnp.float32(2.0))
+    colp2o_new = jnp.where(won, best_j, jnp.where(displaced, _INT_MAX, colp2o))
+    colpi_new = jnp.where(won, floor - eps, colpi)
+    # won/displaced are disjoint (won columns were unassigned), so one
+    # signed sum gives the matching-cardinality delta exactly
+    delta = jnp.sum(
+        won.astype(jnp.float32) - displaced.astype(jnp.float32)
     )
-    rsel = u_iota == best_i
-    gamma = jnp.max(jnp.where(rsel, neg_inf, rprof), axis=1, keepdims=True)
-    has_gamma = gamma != neg_inf
-    rfloor = jnp.where(has_gamma, gamma, beta)
-    pi_inc = beta - rfloor + eps
+    return rowp_new, colpi_new, colp2o_new, rowo2p_new, delta
 
-    free_obj = o2p == _INT_MAX
-    bidding = free_obj & (beta != neg_inf)
-    rinc = jnp.where(bidding, pi_inc, neg_inf)
 
-    is_here = rsel & bidding
-    eff = jnp.where(is_here, rinc, neg_inf)
-    max_inc = jnp.max(eff, axis=0, keepdims=True)             # [1, N]
-    has_rw = max_inc != neg_inf
-    cand = jnp.where(is_here & (eff >= max_inc), j_iota, _INT_MAX)
-    winner_obj = jnp.min(cand, axis=0, keepdims=True)         # [1, N]
+def _orient(mode, prices, pi, p2o, o2p):
+    """Canonical state -> mode-oriented (row side = priced side)."""
+    return lax.cond(
+        mode,
+        lambda p, q, a, b: (p, q, a, b),
+        lambda p, q, a, b: (_t(q), _t(p), _t(b), _t(a)),
+        prices, pi, p2o, o2p,
+    )
 
-    # won_obj (bit 0) and freed (bit 1) in one coded f32 reduction
-    t_won = is_here & (winner_obj == j_iota)
-    is_disp = has_rw & (p2o != _INT_MAX)                      # [1, N]
-    t_freed = (p2o == j_iota) & is_disp
-    code = jnp.sum(
-        t_won.astype(jnp.float32)
-        + jnp.float32(2.0) * t_freed.astype(jnp.float32),
-        axis=1, keepdims=True,
-    )                                                         # [M, 1]
-    won_obj = (code == jnp.float32(1.0)) | (code == jnp.float32(3.0))
-    freed = code >= jnp.float32(2.0)
-    prices_new = jnp.where(won_obj, rfloor - eps, prices)
-    pi_new = jnp.where(has_rw, pi + max_inc, pi)
-    o2p_new = jnp.where(won_obj, best_i, jnp.where(freed, _INT_MAX, o2p))
-    p2o_new = jnp.where(has_rw, winner_obj, p2o)
-    return prices_new, pi_new, p2o_new, o2p_new
+
+def _deorient(mode, rowp, colpi, colp2o, rowo2p):
+    """Mode-oriented state -> canonical (prices, pi, p2o, o2p)."""
+    return lax.cond(
+        mode,
+        lambda p, q, a, b: (p, q, a, b),
+        lambda p, q, a, b: (_t(q), _t(p), _t(b), _t(a)),
+        rowp, colpi, colp2o, rowo2p,
+    )
 
 
 def _fr_kernel(
-    vals_ref,       # [M, N] VMEM
-    prices_ref,     # [M, 1]
-    p2o_pad_ref,    # [8, N] i32 (row 0 p2o; row 1 = nits/mode/done)
-    o2p_ref,        # [M, 1]
-    pi_pad_ref,     # [8, N] f32 (row 0 pi; row 1 lane 0 = eps)
+    vals_ref,       # [G*M, N] VMEM
+    vals_t_ref,     # [G*N, M] VMEM (transpose; M == N)
+    prices_ref,     # [G*M, 1]
+    p2o_pad_ref,    # [G*8, N] i32 (row 0 p2o; row 1 = nits/mode/done)
+    o2p_ref,        # [G*M, 1]
+    pi_pad_ref,     # [G*8, N] f32 (row 0 pi; row 1 lane 0 = eps)
     prices_out,
     p2o_pad_out,
     o2p_out,
     pi_pad_out,
     *,
     rounds: int,
+    group: int,
 ):
-    vals = vals_ref[:]
-    n = vals.shape[1]
-    eps = pi_pad_ref[1, 0]
-    nits0 = p2o_pad_ref[1, 0]
-    mode0 = p2o_pad_ref[1, 1] != 0
-    done0 = p2o_pad_ref[1, 2] != 0
-    since0 = p2o_pad_ref[1, 3]
-    stall_k0 = p2o_pad_ref[1, 4]
+    m = vals_ref.shape[0] // group
+    n = vals_ref.shape[1]
+    n_f32 = np.float32(n)
 
-    carry = (
-        prices_ref[:],
-        pi_pad_ref[0:1, :],
-        p2o_pad_ref[0:1, :],
-        o2p_ref[:],
-        mode0,
-        done0,
-        nits0,
-        since0,
-        stall_k0,
-    )
-
-    def body(carry):
-        i, prices, pi, p2o, o2p, mode, done, nits, since, stall_k = carry
-        # f32 cardinality count: integer jnp.sum/lax.reduce both pull
-        # in int64 paths under x64, which Mosaic cannot lower; f32 sums
-        # are exact far beyond any supported N
-        card_old = jnp.sum((p2o != _INT_MAX).astype(jnp.float32))
-        operand = (prices, pi, p2o, o2p)
-
-        prices, pi, p2o, o2p = lax.cond(
-            mode,
-            lambda o: _forward_sub_v(vals, *o, eps),
-            lambda o: _reverse_sub_v(vals, *o, eps),
-            operand,
-        )
-        card_new = jnp.sum((p2o != _INT_MAX).astype(jnp.float32))
-        increased = card_new > card_old
-        # stalled-phase preemption with doubling horizon (fr_dense)
-        stall_flip = ~increased & (since + 1 >= stall_k) & ~done
-        mode = mode ^ ((increased | stall_flip) & ~done)
-        since = jnp.where(increased | stall_flip, jnp.int32(0), since + 1)
-        stall_k = jnp.where(
-            increased,
-            jnp.int32(_STALL_K0),
-            jnp.where(stall_flip, stall_k * 2, stall_k),
-        )
-        nits = nits + (~done).astype(jnp.int32)
-        done = done | (card_new == jnp.float32(n))
-        return (
-            i + jnp.int32(1),
-            prices, pi, p2o, o2p, mode, done, nits, since, stall_k,
+    # per-instance initial state, mode-oriented
+    insts = []
+    for g in range(group):
+        vals = vals_ref[g * m:(g + 1) * m, :]
+        vals_t = vals_t_ref[g * n:(g + 1) * n, :]
+        prices = prices_ref[g * m:(g + 1) * m, :]
+        o2p = o2p_ref[g * m:(g + 1) * m, :]
+        p2o = p2o_pad_ref[g * 8:g * 8 + 1, :]
+        pi = pi_pad_ref[g * 8:g * 8 + 1, :]
+        eps = pi_pad_ref[g * 8 + 1, 0]
+        nits0 = p2o_pad_ref[g * 8 + 1, 0]
+        mode0 = p2o_pad_ref[g * 8 + 1, 1] != 0
+        done0 = p2o_pad_ref[g * 8 + 1, 2] != 0
+        since0 = p2o_pad_ref[g * 8 + 1, 3]
+        stall_k0 = p2o_pad_ref[g * 8 + 1, 4]
+        rowp, colpi, colp2o, rowo2p = _orient(mode0, prices, pi, p2o, o2p)
+        card0 = jnp.sum((colp2o != _INT_MAX).astype(jnp.float32))
+        insts.append((vals, vals_t, eps))
+        if g == 0:
+            carry = ()
+        carry = carry + (
+            rowp, colpi, colp2o, rowo2p,
+            mode0, done0, nits0, since0, stall_k0, card0,
         )
 
-    def keep_going(carry):
-        i = carry[0]
-        done = carry[6]
-        return (i < jnp.int32(rounds)) & ~done
+    PER = 10  # carried fields per instance
 
-    # EARLY EXIT: a while_loop (not fori) so a finished instance leaves
-    # its grid step immediately instead of spinning no-op rounds for the
-    # rest of the budget (the done-check was a per-round lax.cond before;
-    # exiting is strictly cheaper and state-identical, since done rounds
-    # were no-ops).  int32 induction/bounds: python-int or i64 loop
-    # carries cannot be lowered by Mosaic under jax_enable_x64.
-    (_, prices, pi, p2o, o2p, mode, done, nits, since, stall_k) = (
-        lax.while_loop(keep_going, body, (jnp.int32(0),) + carry)
-    )
+    def body(full):
+        i = full[0]
+        out = (i + jnp.int32(1),)
+        for g in range(group):
+            (rowp, colpi, colp2o, rowo2p,
+             mode, done, nits, since, stall_k, card) = full[
+                1 + g * PER:1 + (g + 1) * PER
+            ]
+            vals, vals_t, eps = insts[g]
+            # straight-line mode select (no control flow): the reverse
+            # sub-round is the forward sub-round of the transposed
+            # problem, so one generic sub-round serves both
+            A = jnp.where(mode, vals, vals_t)
+            rowp2, colpi2, colp2o2, rowo2p2, delta = _generic_sub(
+                A, rowp, colpi, colp2o, rowo2p, eps
+            )
+            # freeze finished instances (bit-exact with exiting early)
+            rowp2 = jnp.where(done, rowp, rowp2)
+            colpi2 = jnp.where(done, colpi, colpi2)
+            colp2o2 = jnp.where(done, colp2o, colp2o2)
+            rowo2p2 = jnp.where(done, rowo2p, rowo2p2)
+            delta = jnp.where(done, jnp.float32(0.0), delta)
 
-    prices_out[:] = prices
-    o2p_out[:] = o2p
-    lane = lax.broadcasted_iota(jnp.int32, (1, p2o.shape[1]), 1)
-    meta = jnp.where(
-        lane == 0,
-        nits,
-        jnp.where(
-            lane == 1,
-            mode.astype(jnp.int32),
-            jnp.where(
-                lane == 2,
-                done.astype(jnp.int32),
+            card2 = card + delta
+            increased = delta > jnp.float32(0.0)
+            # stalled-phase preemption with doubling horizon (fr_dense)
+            stall_flip = ~increased & (since + 1 >= stall_k) & ~done
+            flip = (increased | stall_flip) & ~done
+            mode2 = mode ^ flip
+            since2 = jnp.where(
+                done, since,
+                jnp.where(increased | stall_flip, jnp.int32(0), since + 1),
+            )
+            stall_k2 = jnp.where(
+                done, stall_k,
                 jnp.where(
-                    lane == 3, since,
-                    jnp.where(lane == 4, stall_k, jnp.int32(0)),
+                    increased,
+                    jnp.int32(_STALL_K0),
+                    jnp.where(stall_flip, stall_k * 2, stall_k),
+                ),
+            )
+            nits2 = nits + (~done).astype(jnp.int32)
+            done2 = done | (card2 == n_f32)
+            # orientation follows the mode: swap the dual roles on flip
+            rowp2, colpi2, colp2o2, rowo2p2 = lax.cond(
+                flip,
+                lambda p, q, a, b: (_t(q), _t(p), _t(b), _t(a)),
+                lambda p, q, a, b: (p, q, a, b),
+                rowp2, colpi2, colp2o2, rowo2p2,
+            )
+            out = out + (
+                rowp2, colpi2, colp2o2, rowo2p2,
+                mode2, done2, nits2, since2, stall_k2, card2,
+            )
+        return out
+
+    def keep_going(full):
+        i = full[0]
+        done_all = full[1 + 5]  # instance 0 'done'
+        for g in range(1, group):
+            done_all = done_all & full[1 + g * PER + 5]
+        return (i < jnp.int32(rounds)) & ~done_all
+
+    # EARLY EXIT: a while_loop (not fori) so a finished group leaves
+    # its grid step immediately instead of spinning no-op rounds for
+    # the rest of the budget.  int32 induction/bounds: python-int or
+    # i64 loop carries cannot be lowered by Mosaic under jax_enable_x64.
+    final = lax.while_loop(keep_going, body, (jnp.int32(0),) + carry)
+
+    lane = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    for g in range(group):
+        (rowp, colpi, colp2o, rowo2p,
+         mode, done, nits, since, stall_k, _card) = final[
+            1 + g * PER:1 + (g + 1) * PER
+        ]
+        eps = insts[g][2]
+        prices, pi, p2o, o2p = _deorient(mode, rowp, colpi, colp2o, rowo2p)
+        prices_out[g * m:(g + 1) * m, :] = prices
+        o2p_out[g * m:(g + 1) * m, :] = o2p
+        meta = jnp.where(
+            lane == 0,
+            nits,
+            jnp.where(
+                lane == 1,
+                mode.astype(jnp.int32),
+                jnp.where(
+                    lane == 2,
+                    done.astype(jnp.int32),
+                    jnp.where(
+                        lane == 3, since,
+                        jnp.where(lane == 4, stall_k, jnp.int32(0)),
+                    ),
                 ),
             ),
-        ),
-    )
-    p2o_pad_out[0:1, :] = p2o
-    p2o_pad_out[1:2, :] = meta
-    p2o_pad_out[2:8, :] = jnp.zeros((6, p2o.shape[1]), jnp.int32)
-    pi_pad_out[0:1, :] = pi
-    pi_pad_out[1:2, :] = jnp.full((1, pi.shape[1]), eps, pi.dtype)
-    pi_pad_out[2:8, :] = jnp.zeros((6, pi.shape[1]), pi.dtype)
+        )
+        p2o_pad_out[g * 8:g * 8 + 1, :] = p2o
+        p2o_pad_out[g * 8 + 1:g * 8 + 2, :] = meta
+        p2o_pad_out[g * 8 + 2:(g + 1) * 8, :] = jnp.zeros((6, n), jnp.int32)
+        pi_pad_out[g * 8:g * 8 + 1, :] = pi
+        pi_pad_out[g * 8 + 1:g * 8 + 2, :] = jnp.full((1, n), eps, pi.dtype)
+        pi_pad_out[g * 8 + 2:(g + 1) * 8, :] = jnp.zeros((6, n), pi.dtype)
 
 
 def fr_rounds_pallas_flat(
-    vals2, prices2, p2o_pad2, o2p2, pi_pad2, b, m, n,
-    rounds: int, interpret: bool = False,
+    vals2, vals_t2, prices2, p2o_pad2, o2p2, pi_pad2, b, m, n,
+    rounds: int, interpret: bool = False, group: int = 1,
 ):
     """Run ``rounds`` forward-reverse rounds on every instance; flat
-    stacked layouts as in the module docstring."""
+    stacked layouts as in the module docstring.  ``group`` instances
+    share each grid step (must divide ``b``)."""
     dtype = vals2.dtype
+    if b % group:
+        raise ValueError(f"group {group} must divide batch {b}")
+    steps = b // group
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(b,),
+        grid=(steps,),
         in_specs=[
-            pl.BlockSpec((m, n), lambda i: (i, i * 0),
+            pl.BlockSpec((group * m, n), lambda i: (i, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, 1), lambda i: (i, i * 0),
+            pl.BlockSpec((group * n, m), lambda i: (i, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, n), lambda i: (i, i * 0),
+            pl.BlockSpec((group * m, 1), lambda i: (i, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, 1), lambda i: (i, i * 0),
+            pl.BlockSpec((group * 8, n), lambda i: (i, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, n), lambda i: (i, i * 0),
+            pl.BlockSpec((group * m, 1), lambda i: (i, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group * 8, n), lambda i: (i, i * 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((m, 1), lambda i: (i, i * 0),
+            pl.BlockSpec((group * m, 1), lambda i: (i, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, n), lambda i: (i, i * 0),
+            pl.BlockSpec((group * 8, n), lambda i: (i, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, 1), lambda i: (i, i * 0),
+            pl.BlockSpec((group * m, 1), lambda i: (i, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, n), lambda i: (i, i * 0),
+            pl.BlockSpec((group * 8, n), lambda i: (i, i * 0),
                          memory_space=pltpu.VMEM),
         ),
     )
     return pl.pallas_call(
-        functools.partial(_fr_kernel, rounds=rounds),
+        functools.partial(_fr_kernel, rounds=rounds, group=group),
         grid_spec=grid_spec,
         # the 16 MB scoped-VMEM cap is a compiler default, not the
-        # hardware limit (v5e has 128 MB); raising it lets the
-        # VMEM-resident kernel cover instances past 896² (the in-kernel
-        # early exit pushed 896² to 16.12 MB)
+        # hardware limit (v5e has 128 MB); raising it covers instances
+        # past 896² and the interleaved groups
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -313,12 +369,29 @@ def fr_rounds_pallas_flat(
             jax.ShapeDtypeStruct((b * 8, n), dtype),
         ),
         interpret=interpret,
-    )(vals2, prices2, p2o_pad2, o2p2, pi_pad2)
+    )(vals2, vals_t2, prices2, p2o_pad2, o2p2, pi_pad2)
 
 
-@functools.partial(jax.jit, static_argnames=("rounds", "interpret"))
+def pick_group(b: int, m: int, n: int) -> int:
+    """Interleave factor for the batch driver.
+
+    Measured on the real TPU (512×256², budget 320, best-of-5):
+    group=1 102 ms, group=2 118 ms, group=4 136 ms, group=8 150 ms —
+    the slowdown tracks the group-lockstep waste factor exactly, i.e.
+    Mosaic's in-order schedule does NOT interleave the independent
+    per-instance reduction chains, so grouping only adds waste.  The
+    default is therefore 1; the parameter remains for experiments and
+    as the lever if the backend scheduler improves."""
+    del b, m, n
+    return 1
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rounds", "interpret", "group")
+)
 def fr_chunk_pallas(
-    values_t, states: FRState, rounds: int, interpret: bool = False
+    values_t, states: FRState, rounds: int, interpret: bool = False,
+    group: int = 0,
 ):
     """``rounds`` fused rounds over a batched FRState (packing to and
     from the kernel's flat layouts happens here, once per chunk).
@@ -326,10 +399,14 @@ def fr_chunk_pallas(
     Only valid in the no-ladder mode (start ε == target ε): the kernel
     performs no ε-scaling bookkeeping.  ``eps``/``nreductions`` pass
     through; ``optimal_found`` mirrors ``done`` (in this mode a full
-    assignment is ε-optimal by construction)."""
+    assignment is ε-optimal by construction).  ``group = 0`` picks the
+    interleave factor automatically."""
     b, m, n = values_t.shape
+    if group == 0:
+        group = pick_group(b, m, n)
     dtype = values_t.dtype
     vals2 = values_t.reshape(b * m, n)
+    vals_t2 = jnp.swapaxes(values_t, 1, 2).reshape(b * n, m)
     prices2 = states.prices.reshape(b * m, 1)
     o2p2 = states.o2p.reshape(b * m, 1)
     p2o_pad = jnp.zeros((b, 8, n), jnp.int32)
@@ -344,8 +421,9 @@ def fr_chunk_pallas(
     pi_pad = pi_pad.at[:, 1, 0].set(states.eps)
 
     prices2, p2o_pad2, o2p2, pi_pad2 = fr_rounds_pallas_flat(
-        vals2, prices2, p2o_pad.reshape(b * 8, n), o2p2,
+        vals2, vals_t2, prices2, p2o_pad.reshape(b * 8, n), o2p2,
         pi_pad.reshape(b * 8, n), b, m, n, rounds, interpret=interpret,
+        group=group,
     )
     p2o_pad = p2o_pad2.reshape(b, 8, n)
     pi_pad = pi_pad2.reshape(b, 8, n)

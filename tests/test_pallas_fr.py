@@ -52,7 +52,8 @@ def _xla_rounds(values_t, states, target_eps, rounds):
 
 
 @pytest.mark.parametrize("rounds", [1, 7, 40])
-def test_kernel_matches_xla_rounds(rounds):
+@pytest.mark.parametrize("group", [1, 2, 4])
+def test_kernel_matches_xla_rounds(rounds, group):
     rng = np.random.default_rng(5)
     b, n = 4, 128
     costs = rng.integers(1, 100, size=(b, n, n)).astype(np.float64)
@@ -63,7 +64,8 @@ def test_kernel_matches_xla_rounds(rounds):
     s0 = _init_states(values_t, eps)
 
     want = _xla_rounds(values_t, s0, eps, rounds)
-    got, _ = fr_chunk_pallas(values_t, s0, rounds, interpret=True)
+    got, _ = fr_chunk_pallas(values_t, s0, rounds, interpret=True,
+                             group=group)
 
     np.testing.assert_array_equal(np.asarray(got.p2o), np.asarray(want.p2o))
     np.testing.assert_array_equal(np.asarray(got.o2p), np.asarray(want.o2p))
