@@ -35,6 +35,7 @@ from .ops.fr_dense import STALL_K0, FRState, fr_init, fr_round
 from .ops.pallas_fr import fr_chunk_pallas
 from .ops.pallas_fr_big import fr_big_chunk
 from .solution import UNASSIGNED, o2p_from_p2o
+from .utils.trace import trace_host
 
 _INT_MAX = jnp.int32(UNASSIGNED)
 
@@ -386,6 +387,16 @@ def _solve_batch_fr(
         # at large ε keep re-opening the matching).  The no-ladder run
         # certifies at the target by construction, whatever start_eps
         # the caller picked (docs/PERFORMANCE.md "ε-scaling hurts FR").
+        if not sfoe:
+            import warnings
+
+            warnings.warn(
+                "start_eps ladder ignored on the big-single streaming "
+                "path: forward-reverse phases livelock at scaled eps "
+                "(measured); running no-ladder at the target eps, which "
+                "certifies by construction",
+                stacklevel=3,
+            )
         # block height: the DMA double buffer is pair-unrolled, so the
         # block count n/bm must be even; beyond 4096 lanes the block
         # temporaries need the smaller height anyway
@@ -404,6 +415,10 @@ def _solve_batch_fr(
                     values_t[bi], st, budget, bm=bm, interpret=big_interp
                 )
                 packed = np.asarray(_fr_pack_single(st))
+                trace_host(
+                    "fr big single {}: rounds={} done={}",
+                    bi, int(packed[n]), bool(packed[n + 1]),
+                )
                 if packed[n + 1] or int(packed[n]) >= max_iterations:
                     break
             out_p2o[bi] = packed[:n]
@@ -443,6 +458,9 @@ def _solve_batch_fr(
             packed = np.asarray(_fr_pack_results(states))
             done_h = packed[:, n + 1] != 0
             undone = np.nonzero(~done_h)[0]
+            trace_host(
+                "fr fused: rounds={} undone={}/{}", rounds, len(undone), b
+            )
             if len(undone) <= max(tail_count, 128) or rounds >= max_iterations:
                 break
             # rare: a hard batch — keep running fused rounds
@@ -457,6 +475,10 @@ def _solve_batch_fr(
         if len(undone) and rounds < max_iterations:
             from concurrent.futures import ThreadPoolExecutor
 
+            trace_host(
+                "fr fused: native tail finishing {} stragglers",
+                len(undone),
+            )
             costs_host, maximize = work_host
 
             def finish(i):

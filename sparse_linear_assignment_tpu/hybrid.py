@@ -38,6 +38,7 @@ from .cpu_reference import khosla_finish_cpu
 from .ops.compact import LState, khosla_full_chunk
 from .ops.padded import PaddedProblem
 from .solution import UNASSIGNED
+from .utils.trace import trace_host
 
 _INT_MAX = np.int32(UNASSIGNED)
 
@@ -154,10 +155,15 @@ def khosla_solve_hybrid(
     configuration; docs/PERFORMANCE.md records the attribution).
     Returns ``(prices_f64, p2o, o2p, dropped, tpu_rounds, cpu_pops)``
     with the package's ``UNASSIGNED`` sentinel in the assignment arrays.
+
+    ``tpu_phases = 0`` (with ``problem=None`` allowed) runs the pure
+    native ε-scaling ladder — the fastest measured engine for sparse
+    singles (BASELINE.md attribution table) and the auto-router's
+    large-symmetric path.
     """
     n, m = num_rows, num_cols
     span = w_max - w_min
-    dtype = problem.dtype
+    dtype = problem.dtype if problem is not None else np.float32
 
     # ε ladder (symmetric instances only — see ops/compact.py rationale)
     if scale and n == m:
@@ -216,11 +222,20 @@ def khosla_solve_hybrid(
             p2o, o2p, dropped, prices64 = _unpack_lstate(
                 packed, n, m, np_dtype
             )
+            trace_host(
+                "hybrid phase {}: eps={} bulk rounds={} unassigned={}",
+                phase_i, phase_eps, chunk, int((p2o < 0).sum()),
+            )
 
         # ---- native chain tail (exact sequential finish of the phase) ----
-        cpu_pops += khosla_finish_cpu(
+        phase_pops = khosla_finish_cpu(
             n, m, csr_starts, csr_cols, csr_vals,
             phase_eps, threshold, p2o, o2p, prices64, dropped,
+        )
+        cpu_pops += phase_pops
+        trace_host(
+            "hybrid phase {}: eps={} native pops={} unassigned={}",
+            phase_i, phase_eps, phase_pops, int((p2o < 0).sum()),
         )
 
     p2o_out = np.where(p2o < 0, _INT_MAX, p2o).astype(np.int32)

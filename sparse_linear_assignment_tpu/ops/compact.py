@@ -39,6 +39,7 @@ import numpy as np
 from jax import lax
 
 from ..solution import UNASSIGNED
+from ..utils.trace import trace_round
 from .padded import PaddedProblem
 from .prefix import compact_indices
 
@@ -156,6 +157,11 @@ def _full_round(problem: PaddedProblem, s: LState, eps, threshold):
     safe_cur = jnp.where(assigned, s.p2o, 0)
     displaced = assigned & has_w[safe_cur]
     p2o_new = jnp.where(win, obj, jnp.where(displaced, _INT_MAX, s.p2o))
+    trace_round(
+        "khosla full round {}: active={} dropped={}",
+        s.nits, jnp.sum(active, dtype=jnp.int32),
+        jnp.sum(drop_now, dtype=jnp.int32),
+    )
     return LState(
         prices=prices_new,
         p2o=p2o_new,
@@ -262,6 +268,11 @@ def _slot_round(problem: PaddedProblem, s: LState, eps, threshold):
         jnp.concatenate([s.dropped, jnp.zeros(1, bool)])
         .at[jnp.where(drop_now, safe_ids, n)]
         .set(True)[:n]
+    )
+    trace_round(
+        "khosla slot round {}: occupied={} dropped={}",
+        s.nits, jnp.sum(occupied, dtype=jnp.int32),
+        jnp.sum(drop_now, dtype=jnp.int32),
     )
     return LState(
         prices=prices_new,

@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..solution import UNASSIGNED
+from ..utils.trace import trace_round
 
 _INT_MAX = jnp.int32(UNASSIGNED)
 
@@ -281,6 +282,10 @@ def fr_round(
     nits = s.nits + (~s.done).astype(jnp.int32)
     num_unassigned = jnp.sum(p2o == _INT_MAX, dtype=jnp.int32)
     fully = (num_unassigned == 0) & ~s.done
+    trace_round(
+        "fr round {}: unassigned={} forward={} eps={}",
+        nits, num_unassigned, forward_mode, s.eps,
+    )
 
     if skip_certificate:
         # caller started at eps == target_eps: every state satisfies

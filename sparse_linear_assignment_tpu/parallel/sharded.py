@@ -43,6 +43,7 @@ from ..ops.auction import top2_profits_arrays
 from ..ops.fr_dense import STALL_K0 as _STALL_K0
 from ..solution import INDEX_DTYPE, UNASSIGNED, o2p_from_p2o
 from ..solver import AuctionSolver
+from ..utils.trace import trace_round
 
 _INT_MAX = jnp.int32(UNASSIGNED)
 
@@ -118,6 +119,10 @@ def _round_body(
     # rounds after the solve completes (fixed-length chunk tail) are
     # no-ops and must not count
     nits_new = nits + (num_active > 0).astype(jnp.int32)
+    trace_round(
+        "sharded khosla round {} shard {}: active={} dropped(local)={}",
+        nits, idx, num_active_new, jnp.sum(drop_now, dtype=jnp.int32),
+    )
     return (prices_new, p2o_new, o2p_new, dropped_new, nits_new, num_active_new)
 
 
@@ -386,6 +391,10 @@ def _forward_round_body(
     nreductions_new = nreductions + reduce.astype(jnp.int32)
     optimal_new = optimal_found | (fully & is_optimal)
     done_new = done | (fully & stop) | (nits_new >= max_iterations)
+    trace_round(
+        "sharded forward round {} shard {}: eps={} reductions={} done={}",
+        nits_new, idx, eps_new, nreductions_new, done_new,
+    )
     return (
         prices_new, p2o_out, o2p_out, eps_new, nits_new,
         nreductions_new, optimal_new, done_new,
@@ -745,6 +754,10 @@ def _fr_round_sharded(vals_l, state):
     )
     nits = nits + active.astype(jnp.int32)
     done = done | (card_new == jnp.float32(p2o.shape[0]))
+    trace_round(
+        "sharded fr round {} shard {}: matched={} forward={} done={}",
+        nits, idx, card_new, forward_mode, done,
+    )
     return (
         prices_l, o2p_l, pi, p2o, forward_mode, done, nits, since,
         stall_k, eps,

@@ -1,1 +1,7 @@
-from .trace import profile_solve, set_debug, trace_round
+from .trace import (
+    is_enabled,
+    profile_solve,
+    set_debug,
+    trace_host,
+    trace_round,
+)

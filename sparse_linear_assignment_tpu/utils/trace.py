@@ -44,6 +44,22 @@ def trace_round(fmt: str, *args) -> None:
         jax.debug.print(fmt, *args)
 
 
+def trace_host(fmt: str, *args) -> None:
+    """Host-side gated trace for driver-level events the reference logs
+    with `info!`/`trace!` outside the hot loop (ε-phase transitions,
+    `symmetric.rs:247-249,297`; chunk/tail handoffs).  Eagerly formatted
+    and printed to stderr only when debugging is enabled."""
+    if _DEBUG:
+        import sys
+
+        print(fmt.format(*args), file=sys.stderr, flush=True)
+
+
+def is_enabled() -> bool:
+    """Whether round tracing is currently enabled."""
+    return _DEBUG
+
+
 @contextlib.contextmanager
 def profile_solve(log_dir: str = "/tmp/slap_tpu_profile") -> Iterator[None]:
     """Profile a solve with the JAX profiler (view with TensorBoard or
