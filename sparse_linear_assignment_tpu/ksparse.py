@@ -57,6 +57,11 @@ class KhoslaSolver(AuctionSolver):
     #: engine (identical semantics, round cost scales with active set)
     COMPACT_THRESHOLD = 8192
 
+    #: symmetric instances at or above this many rows route the auto
+    #: engine through the native ε-scaling ladder (certificate-identical,
+    #: measured fastest at scale — BASELINE.md attribution table)
+    NATIVE_LADDER_THRESHOLD = 4096
+
     def solve(
         self,
         solution: AuctionSolution,
@@ -67,10 +72,28 @@ class KhoslaSolver(AuctionSolver):
         compact: Optional[bool] = None,
         hybrid: bool = False,
         start_prices=None,
+        engine: str = "auto",
     ) -> None:
         """Solve the current problem instance (`ksparse.rs:153-251`).
 
         ``eps`` defaults to ``1 / num_cols`` (`ksparse.rs:164-168`).
+
+        ``engine`` selects the execution engine:
+
+        - ``"auto"`` (default) — the measured-fastest correct engine for
+          the instance class (BASELINE.md crossover tables): sparse
+          single instances run the native sequential engine (the
+          reference's own semantics; the Jacobi device rounds lose
+          60–1000× on small sparse instances to per-sync latency and
+          serialized gathers), with the native ε-scaling ladder above
+          ``NATIVE_LADDER_THRESHOLD`` rows on symmetric instances.
+          Explicit ``scale_eps``/``compact``/``hybrid``/``start_prices``
+          arguments force the device paths (they parameterize them).
+        - ``"native"`` — force the native sequential engine.
+        - ``"device"`` — force the TPU/device engines (the reference's
+          one-call contract, `solver.rs:15-20`, executed as synchronous
+          Jacobi rounds).
+
         Extensions over the reference:
 
         - ``max_rounds`` — safety cutoff for the float32 fast path (the
@@ -88,9 +111,47 @@ class KhoslaSolver(AuctionSolver):
           ``solver.prices`` from a previous solve of a similar instance
           with the same ``maximize`` (the TPU equivalent of the
           reference's price persistence across ε-restarts,
-          `symmetric.rs:290-324`; SURVEY.md §5.4).  Any start prices
-          preserve the ε-CS certificate of the returned matching.
+          `symmetric.rs:290-324`; SURVEY.md §5.4).  On symmetric
+          instances any start prices preserve the ε-CS certificate of
+          the returned matching; on **asymmetric** instances warm
+          starts are unsound (see the inline soundness note) — the
+          prices are ignored with a warning and the solve runs cold,
+          mirroring the reference's asymmetric ε-scaling exception
+          (`symmetric.rs:256-267`).
         """
+        if engine not in ("auto", "native", "device"):
+            raise ValueError(f"unknown engine {engine!r}")
+        forced_device = (
+            scale_eps or hybrid or compact is not None
+            or start_prices is not None
+        )
+        if engine == "auto":
+            engine = "device" if forced_device else "native"
+        if engine == "native":
+            try:
+                from .cpu_reference import get_lib, khosla_solve_cpu
+                get_lib()
+            except Exception:  # no native toolchain: device fallback
+                engine = "device"
+        if engine == "native":
+            if (
+                self.num_rows == self.num_cols
+                and self.num_rows >= self.NATIVE_LADDER_THRESHOLD
+            ):
+                # native ε-scaling ladder (certificate-identical at the
+                # target eps, measured fastest at scale)
+                self._solve_native_ladder(solution, maximize, eps)
+            else:
+                sol2, nits = khosla_solve_cpu(self, maximize, eps)
+                solution.person_to_object = sol2.person_to_object
+                solution.object_to_person = sol2.object_to_person
+                solution.num_unassigned = sol2.num_unassigned
+                solution.eps = sol2.eps
+                # native nits counts sequential pops — the reference's
+                # own unit (`ksparse.rs:184-187`)
+                self.nits = nits
+            return
+
         self.validate_input()
         self.init_solve(solution, maximize)
 
@@ -153,6 +214,14 @@ class KhoslaSolver(AuctionSolver):
                 # see it (measured: 30 % excess objective).  Same reason
                 # the reference disables ε-scaling on asymmetric
                 # instances (`symmetric.rs:256-267`); run cold instead.
+                import warnings
+
+                warnings.warn(
+                    "start_prices ignored: warm starts are unsound on "
+                    "asymmetric instances (running cold; see "
+                    "KhoslaSolver.solve docstring)",
+                    stacklevel=2,
+                )
                 start_prices = None
             else:
                 compact = compact or not hybrid  # while_loop has no warm entry
@@ -222,3 +291,40 @@ class KhoslaSolver(AuctionSolver):
         solution.object_to_person = np.asarray(o2p)
         solution.num_unassigned = int(num_unassigned)
         self.nits = int(nits)
+
+    def _solve_native_ladder(
+        self,
+        solution: AuctionSolution,
+        maximize: bool,
+        eps: Optional[float],
+    ) -> None:
+        """Native ε-scaling ladder (hybrid driver with zero TPU phases):
+        the measured-fastest engine for large symmetric sparse singles
+        (BASELINE.md attribution: 0.37–0.46 s at the n=1e5 headline vs
+        50.5 s sequential-no-ladder).  Same final ε-CS certificate as a
+        direct solve at ``eps``."""
+        from .hybrid import khosla_solve_hybrid
+
+        self.validate_input()
+        self.init_solve(solution, maximize)
+        eps_val = float(eps) if eps is not None else 1.0 / float(self.num_cols)
+        solution.eps = eps_val
+        values = self.values  # possibly sign-flipped by init_solve
+        counts = self.j_counts.astype(np.int64)
+        starts = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        prices, p2o, o2p, dropped, tpu_rounds, cpu_pops = (
+            khosla_solve_hybrid(
+                self.num_rows, self.num_cols, starts,
+                self.column_indices, values, None,
+                eps_val, float(values.min()), float(values.max()),
+                scale=True, tpu_phases=0,
+            )
+        )
+        self.prices = prices
+        solution.person_to_object = p2o
+        solution.object_to_person = o2p
+        solution.num_unassigned = int(
+            (p2o == _np.iinfo(_np.int32).max).sum()
+        )
+        self.nits = int(tpu_rounds + cpu_pops)

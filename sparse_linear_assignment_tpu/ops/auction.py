@@ -317,6 +317,17 @@ def khosla_solve(
     the reduced-precision (float32) path where ``price + eps`` can round to
     ``price``; at float64 the loop provably terminates without it.
     """
+    # CPU-only by design, now also by guard: a dynamic while_loop body
+    # containing gathers is a documented compile bomb on the TPU backend
+    # (docs/PERFORMANCE.md item 2); the host-chunked engines
+    # (ops/compact.py) are the accelerator path.  Trace-time check, so
+    # it costs nothing on cached calls.
+    if jax.default_backend() != "cpu":  # pragma: no cover - TPU only
+        raise RuntimeError(
+            "khosla_solve (while_loop engine) is CPU-only; use the "
+            "slot-list/full-scan engines (KhoslaSolver.solve with "
+            "compact=True, the default on accelerators)"
+        )
     dtype = problem.dtype
     n = problem.num_rows
     m = problem.num_cols
@@ -480,6 +491,14 @@ def forward_solve(
     (`symmetric.rs:290-324`); infeasible instances are cut off by
     ``max_iterations`` (`symmetric.rs:326-328`).
     """
+    # CPU-only by guard, same rationale as khosla_solve: while_loop +
+    # gather bodies are a compile bomb on the TPU backend; the chunked
+    # driver (forward_solve_chunked) is the accelerator path.
+    if jax.default_backend() != "cpu":  # pragma: no cover - TPU only
+        raise RuntimeError(
+            "forward_solve (while_loop engine) is CPU-only; use "
+            "forward_solve_chunked (ForwardAuctionSolver's default)"
+        )
     dtype = problem.dtype
     n = problem.num_rows
     m = problem.num_cols

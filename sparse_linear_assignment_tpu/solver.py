@@ -269,12 +269,26 @@ class AuctionSolver:
     ) -> bool:
         """ε-complementary-slackness check (``solver.rs:154-189``):
         for every person i with chosen object j,
-        ``max_k (a_ik - p_k) - eps <= a_ij - p_j + tol``."""
+        ``max_k (a_ik - p_k) - eps <= a_ij - p_j + tol``.
+
+        Precondition: ``person_to_object`` must be a full assignment.
+        The reference shares this precondition implicitly (an unassigned
+        person's chosen profit defaults to −inf, `solver.rs:163-170`,
+        so the check can only fail); raising makes the misuse
+        impossible instead of silently returning False.
+        """
         vals = self.values
         cols = self.column_indices.astype(np.int64)
         counts = self.j_counts.astype(np.int64)
         prices = self.prices
         p2o = np.asarray(person_to_object).astype(np.int64)
+        if np.any(p2o >= len(prices)):
+            raise ValueError(
+                "ecs_satisfied requires a full assignment: "
+                f"{int(np.sum(p2o >= len(prices)))} persons are "
+                "unassigned (the certificate is undefined for partial "
+                "matchings)"
+            )
 
         row_of_arc = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
         profit = vals - prices[cols]

@@ -58,9 +58,12 @@ class ForwardAuctionSolver(AuctionSolver):
         solution: AuctionSolution,
         maximize: bool = False,
         eps: Optional[float] = None,
+        engine: str = "auto",
     ) -> None:
         """`symmetric.rs:177-186` — delegates to :meth:`solve_with_params`."""
-        self.solve_with_params(solution, maximize, eps, None, None)
+        self.solve_with_params(
+            solution, maximize, eps, None, None, engine=engine
+        )
 
     def solve_with_params(
         self,
@@ -70,14 +73,61 @@ class ForwardAuctionSolver(AuctionSolver):
         start_eps: Optional[float] = None,
         max_iterations: Optional[int] = None,
         start_prices=None,
+        engine: str = "auto",
     ) -> None:
         """Full-parameter solve (`symmetric.rs:218-332`).
 
+        ``engine``: ``"auto"`` (default) routes to the measured-fastest
+        correct engine — the native sequential engine for sparse single
+        instances (the Jacobi device rounds lose 60–1000× there to
+        per-sync latency, BASELINE.md config A/B rows), EXCEPT when the
+        instance has single-arc rows: the reference bid rule the native
+        engine reproduces bids +inf there and livelocks
+        (`symmetric.rs:359,378`; docs/PARITY.md deviation), so those
+        instances take the device engine's guarded bid.  ``"native"`` /
+        ``"device"`` force an engine.  ``start_prices`` (a device-path
+        extension) implies the device engine.
+
         ``start_prices`` (extension, SURVEY.md §5.4) warm-starts the
         price vector — e.g. with ``solver.prices`` from a previous
-        solve of a similar instance with the same ``maximize``; the
-        ε-CS certificate of the result is unaffected by start prices.
+        solve of a similar instance with the same ``maximize``; on
+        symmetric instances the ε-CS certificate of the result is
+        unaffected by start prices.  On **asymmetric** instances warm
+        starts are unsound (stale prices on unused objects break the
+        n·ε-optimality duality) — they are ignored with a warning and
+        the solve runs cold, mirroring the reference's asymmetric
+        ε-scaling exception (`symmetric.rs:256-267`).
         """
+        if engine not in ("auto", "native", "device"):
+            raise ValueError(f"unknown engine {engine!r}")
+        if engine == "auto":
+            if start_prices is not None or np.min(self.j_counts) < 2:
+                engine = "device"
+            else:
+                engine = "native"
+        if engine == "native":
+            try:
+                from .cpu_reference import forward_solve_cpu, get_lib
+                get_lib()
+            except Exception:  # no native toolchain: device fallback
+                engine = "device"
+        if engine == "native":
+            self.max_iterations = (
+                int(max_iterations) if max_iterations is not None
+                else MAX_ITERATIONS
+            )
+            sol2, nits, nreductions, optimal = forward_solve_cpu(
+                self, maximize, eps, start_eps, self.max_iterations
+            )
+            solution.person_to_object = sol2.person_to_object
+            solution.object_to_person = sol2.object_to_person
+            solution.num_unassigned = sol2.num_unassigned
+            solution.eps = sol2.eps
+            self.nits = nits
+            self.nreductions = nreductions
+            self.optimal_soln_found = optimal
+            return
+
         self.validate_input()
         self.init_solve(solution, maximize)
 
@@ -130,6 +180,14 @@ class ForwardAuctionSolver(AuctionSolver):
                 # unused objects break the n·ε-optimality duality; see
                 # KhoslaSolver.solve) — run cold, same reason the
                 # reference disables ε-scaling here (symmetric.rs:256-267)
+                import warnings
+
+                warnings.warn(
+                    "start_prices ignored: warm starts are unsound on "
+                    "asymmetric instances (running cold; see "
+                    "solve_with_params docstring)",
+                    stacklevel=2,
+                )
                 start_prices = None
         (
             prices,
