@@ -25,7 +25,17 @@ def log(msg):
 
 
 def bench_headline():
-    """n=1e5 k~5 sparse LAP: sequential CPU reference vs hybrid TPU."""
+    """n=1e5 k~5 sparse LAP: sequential CPU reference vs hybrid TPU.
+
+    The first hybrid solve (compile / persistent-cache load — the
+    910 s worst case of BENCH_r02) runs in a background thread
+    OVERLAPPED with the 50 s sequential CPU reference (both release
+    the GIL: the native engine in its C call, the compile in its RPC
+    to the remote compiler), so the cold-start cost mostly disappears
+    from the wall clock; it is still measured and logged honestly.
+    """
+    import threading
+
     from sparse_linear_assignment_tpu import KhoslaSolver
     from sparse_linear_assignment_tpu.cpu_reference import khosla_solve_cpu
     from sparse_linear_assignment_tpu.generators import gen_symmetric_input
@@ -37,27 +47,51 @@ def bench_headline():
     log(f"headline gen: {time.perf_counter() - t0:.1f}s "
         f"({solver.num_of_arcs()} arcs)")
 
-    # CPU reference (sequential Khosla, the Rust crate's semantics)
+    # prewarm: first hybrid solve in a thread (compiles + caches every
+    # program of the timed path), overlapped with the CPU reference
+    solver.dtype = np.dtype(np.float32)
+    warm_sol = type(solution).new()
+    warm = {}
+
+    def prewarm():
+        t0 = time.perf_counter()
+        solver.solve(warm_sol, False, scale_eps=True, hybrid=True)
+        warm["first"] = time.perf_counter() - t0
+
+    th = threading.Thread(target=prewarm)
+    th.start()
+
+    # CPU reference (sequential Khosla, the Rust crate's semantics).
+    # Build a second solver so the reference run does not race the
+    # prewarm thread's use of the staged problem.  The prewarm's own
+    # native chain tails briefly share this single-core host (~0.5 s of
+    # CPU inside the reference's ~50 s window, <1% inflation — accepted
+    # for the wall-clock win of overlapping the compile).
+    ref = KhoslaSolver.new(n, n, 10 * n)[0]
+    gen_symmetric_input(ref, 42, n, 5.0 / n, 0.0, 10.0)
     t0 = time.perf_counter()
-    cpu_sol, cpu_nits = khosla_solve_cpu(solver)
+    cpu_sol, cpu_nits = khosla_solve_cpu(ref)
     cpu_time = time.perf_counter() - t0
-    cpu_obj = solver.get_objective(cpu_sol)
+    cpu_obj = ref.get_objective(cpu_sol)
     log(f"CPU reference: {cpu_time:.2f}s nits={cpu_nits} "
         f"unassigned={cpu_sol.num_unassigned} obj={cpu_obj:.2f}")
 
-    # TPU hybrid (eps-scaled bulk rounds on TPU + native chain tails)
-    solver.dtype = np.dtype(np.float32)
-    t0 = time.perf_counter()
-    solver.solve(solution, False, scale_eps=True, hybrid=True)
-    first = time.perf_counter() - t0
-    log(f"hybrid first (incl compile/cache load): {first:.2f}s")
-    best = first
-    for _ in range(3):
+    th.join()
+    log(f"hybrid first (incl compile/cache load, overlapped with the "
+        f"CPU reference): {warm['first']:.2f}s")
+
+    # timed: best-of-5 with per-repeat logging (the tunnel's per-sync
+    # latency swings 30..400 ms between hours; median recorded too)
+    times = []
+    for i in range(5):
         t0 = time.perf_counter()
         solver.solve(solution, False, scale_eps=True, hybrid=True)
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
+        log(f"hybrid repeat {i}: {times[-1]:.2f}s")
+    best = min(times)
     tpu_obj = solver.get_objective(solution)
-    log(f"hybrid steady best: {best:.2f}s unassigned="
+    log(f"hybrid steady best: {best:.2f}s median: "
+        f"{sorted(times)[len(times) // 2]:.2f}s unassigned="
         f"{solution.num_unassigned} obj={tpu_obj:.2f}")
     # Both must reach a full matching; objectives agree within the n*eps
     # optimality bound.  Certificate note: the hybrid's bulk phase runs
@@ -70,7 +104,7 @@ def bench_headline():
     return cpu_time / best
 
 
-def bench_batched(batch=2048, repeats=2):
+def bench_batched(batch=2048, repeats=5, staged_copies=3):
     """Batched 256×256 throughput on the forward-reverse engine.
 
     Timing protocol mirrors the reference bench (criterion iter_batched,
@@ -141,16 +175,20 @@ def bench_dense_single(n=2048, repeats=3):
     costs = rng.integers(1, 1000, size=(1, n, n)).astype(np.float64)
     dev = jnp.asarray(costs.astype(np.float32))
     jax.block_until_ready(dev)
+    # eps strictly inside the n*eps < 1 exactness bound for integer
+    # costs (eps = 1/n sits exactly on the boundary, where a gap of 1
+    # is theoretically admissible and the equality assert could trip)
+    eps = 1.0 / (n + 1)
     best = None
     for _ in range(repeats + 1):
         t0 = time.perf_counter()
         sol = solve_batch(costs, solver="fr", dtype=np.float32,
-                          costs_device=dev)
+                          eps=eps, costs_device=dev)
         dt = time.perf_counter() - t0
         best = dt if best is None or dt < best else best
     assert int(sol.num_unassigned.sum()) == 0
     t0 = time.perf_counter()
-    p2o_cpu, _, _ = _cpu_tail_forward(-costs[0], 1.0 / n, 10_000_000)
+    p2o_cpu, _, _ = _cpu_tail_forward(-costs[0], eps, 10_000_000)
     t_cpu = time.perf_counter() - t0
     obj_cpu = float(costs[0][np.arange(n), p2o_cpu].sum())
     assert abs(float(sol.objective[0]) - obj_cpu) < 1e-6

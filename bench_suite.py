@@ -55,12 +55,18 @@ def bench_config_a(sizes=(1000, 5000, 10000)):
         t_cpu_k = median_time(lambda: khosla_solve_cpu(solver))
         t_cpu_f = median_time(lambda: forward_solve_cpu(solver))
 
-        # TPU khosla, slot-list engine, f32, eps ladder
+        # TPU khosla, slot-list engine, f32, eps ladder (scale_eps
+        # forces the device path through the auto-router)
         solver.dtype = np.dtype(np.float32)
         t_tpu_k = median_time(
             lambda: solver.solve(solution, False, scale_eps=True)
         )
         obj_k = solver.get_objective(solution)
+        assert solution.num_unassigned == 0
+
+        # default one-call contract (`solver.rs:15-20`): the auto
+        # router must land within 1.2x of the best engine on every row
+        t_default = median_time(lambda: solver.solve(solution, False))
         assert solution.num_unassigned == 0
 
         # TPU forward, chunked Jacobi, f32 — only at small n: its
@@ -76,13 +82,19 @@ def bench_config_a(sizes=(1000, 5000, 10000)):
             fsolver._values = list(np.abs(solver.values))
             fsolver.num_rows = fsolver.num_cols = n
             fsolver.dtype = np.dtype(np.float32)
-            t_tpu_f = median_time(lambda: fsolver.solve(fsol, False))
+            t_tpu_f = median_time(
+                lambda: fsolver.solve(fsol, False, engine="device")
+            )
             assert fsol.num_unassigned == 0
 
+        best = min(t for t in (t_cpu_k, t_cpu_f, t_tpu_k, t_tpu_f)
+                   if t is not None)
         rows.append({
             "config": f"A n={n} d=1%", "arcs": arcs,
             "native_khosla_s": t_cpu_k, "native_forward_s": t_cpu_f,
             "tpu_khosla_s": t_tpu_k, "tpu_forward_s": t_tpu_f,
+            "default_s": t_default,
+            "default_within_1.2x": bool(t_default <= 1.2 * best),
             "obj": obj_k,
         })
         log(json.dumps(rows[-1]))
@@ -107,12 +119,19 @@ def bench_config_b():
     t_cpu_k = median_time(lambda: khosla_solve_cpu(solver))
     t_cpu_f = median_time(lambda: forward_solve_cpu(solver))
     solver.dtype = np.dtype(np.float32)
-    t_tpu_k = median_time(lambda: solver.solve(solution, False))
+    t_tpu_k = median_time(
+        lambda: solver.solve(solution, False, engine="device")
+    )
     assert solution.num_unassigned == 0
+    t_default = median_time(lambda: solver.solve(solution, False))
+    assert solution.num_unassigned == 0
+    best = min(t_cpu_k, t_cpu_f, t_tpu_k)
     row = {
         "config": "B 2000x60000 k=32", "arcs": arcs,
         "native_khosla_s": t_cpu_k, "native_forward_s": t_cpu_f,
         "tpu_khosla_s": t_tpu_k,
+        "default_s": t_default,
+        "default_within_1.2x": bool(t_default <= 1.2 * best),
     }
     log(json.dumps(row))
     return [row]
