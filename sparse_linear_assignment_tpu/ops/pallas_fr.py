@@ -179,6 +179,7 @@ def _fr_kernel(
     *,
     rounds: int,
     group: int,
+    unroll: int = 1,
 ):
     m = vals_ref.shape[0] // group
     n = vals_ref.shape[1]
@@ -211,15 +212,11 @@ def _fr_kernel(
 
     PER = 10  # carried fields per instance
 
-    def body(full):
-        i = full[0]
-        out = (i + jnp.int32(1),)
-        for g in range(group):
-            (rowp, colpi, colp2o, rowo2p,
-             mode, done, nits, since, stall_k, card) = full[
-                1 + g * PER:1 + (g + 1) * PER
-            ]
-            vals, vals_t, eps = insts[g]
+    def one_round(state, g):
+        (rowp, colpi, colp2o, rowo2p,
+         mode, done, nits, since, stall_k, card) = state
+        vals, vals_t, eps = insts[g]
+        if True:
             # straight-line mode select (no control flow): the reverse
             # sub-round is the forward sub-round of the transposed
             # problem, so one generic sub-round serves both
@@ -261,10 +258,24 @@ def _fr_kernel(
                 lambda p, q, a, b: (p, q, a, b),
                 rowp2, colpi2, colp2o2, rowo2p2,
             )
-            out = out + (
-                rowp2, colpi2, colp2o2, rowo2p2,
-                mode2, done2, nits2, since2, stall_k2, card2,
-            )
+        return (
+            rowp2, colpi2, colp2o2, rowo2p2,
+            mode2, done2, nits2, since2, stall_k2, card2,
+        )
+
+    def body(full):
+        # ``unroll`` successive rounds per loop iteration: the
+        # early-exit condition is checked once per chunk, shaving the
+        # per-round while-loop/branch overhead; done instances' rounds
+        # are frozen (state-identical), so this is bit-exact whenever
+        # unroll divides the budget (the caller guarantees it)
+        i = full[0]
+        out = (i + jnp.int32(unroll),)
+        for g in range(group):
+            state = full[1 + g * PER:1 + (g + 1) * PER]
+            for _ in range(unroll):
+                state = one_round(state, g)
+            out = out + tuple(state)
         return out
 
     def keep_going(full):
@@ -353,8 +364,14 @@ def fr_rounds_pallas_flat(
                          memory_space=pltpu.VMEM),
         ),
     )
+    # chunk-unrolled early exit: exact whenever unroll divides rounds
+    # (measured: the per-round while/branch overhead is ~0.2 us of the
+    # 0.95 us marginal round cost)
+    unroll = 4 if rounds % 4 == 0 and rounds >= 8 else 1
     return pl.pallas_call(
-        functools.partial(_fr_kernel, rounds=rounds, group=group),
+        functools.partial(
+            _fr_kernel, rounds=rounds, group=group, unroll=unroll
+        ),
         grid_spec=grid_spec,
         # the 16 MB scoped-VMEM cap is a compiler default, not the
         # hardware limit (v5e has 128 MB); raising it covers instances
