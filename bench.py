@@ -104,53 +104,53 @@ def bench_headline():
     return cpu_time / best
 
 
-def bench_batched(batch=2048, repeats=5, staged_copies=3):
-    """Batched 256×256 throughput on the forward-reverse engine.
+def bench_batched(batch=4096, repeats=5, staged_copies=3):
+    """Batched 256×256 throughput on the forward-reverse engine,
+    device-resident end-to-end.
 
-    Timing protocol mirrors the reference bench (criterion iter_batched,
-    `benchmark.rs:111-125`): input staging (host→device transfer) is
-    setup and excluded from the timed region; the timed region is the
-    full solve including the native-CPU straggler tail, result
-    readback, and host-side objective evaluation.  The staging cost is
-    logged separately — this environment tunnels the TPU, so ingress
-    (~15–700 MB/s, high variance) can exceed the solve itself; on
-    directly-attached hardware (PCIe ≫ 1 GB/s) it is negligible.
+    Inputs are GENERATED on the device (seeded jax PRNG) and the solve
+    runs in device-resident mode (``costs=None``): no host costs, the
+    objective rides the single packed readback, stragglers finish with
+    on-device continuation.  Generation plays the role of the reference
+    bench's excluded setup phase (criterion iter_batched,
+    `benchmark.rs:111-125` — staging/ingress is setup, the timed region
+    is the full solve including result readback); it also removes the
+    ~2-minute tunnel-ingress tax of shipping GBs of random matrices,
+    letting the bench run production-sized batches.  A few distinct
+    staged batches cycle across the repeats (fresh inputs per repeat).
     """
     import jax
     import jax.numpy as jnp
     from sparse_linear_assignment_tpu.batch import solve_batch
 
-    rng = np.random.default_rng(0)
     n = 256
-    # a few distinct staged batches cycled across the repeats: fresh
-    # inputs per repeat (criterion protocol) without staging GBs of
-    # host->device traffic through the tunnel
-    host_batches = [
-        rng.integers(1, 1000, size=(batch, n, n)).astype(np.float64)
-        for _ in range(staged_copies)
-    ]
+
+    @jax.jit
+    def gen(key):
+        return jax.random.randint(
+            key, (batch, n, n), 1, 1000, dtype=jnp.int32
+        ).astype(jnp.float32)
+
     t0 = time.perf_counter()
-    staged = [jnp.asarray(c.astype(np.float32)) for c in host_batches]
+    keys = jax.random.split(jax.random.PRNGKey(0), staged_copies)
+    staged = [gen(k) for k in keys]
     jax.block_until_ready(staged)
-    stage_dt = time.perf_counter() - t0
-    mb = batch * n * n * 4 * staged_copies / 1e6
-    log(f"batched staging: {mb:.0f} MB in {stage_dt:.1f}s "
-        f"({mb / stage_dt:.0f} MB/s; excluded from timing, "
+    log(f"batched on-device generation: {staged_copies}x{batch}x{n}x{n} "
+        f"in {time.perf_counter() - t0:.1f}s (setup, excluded — "
         f"criterion-iter_batched protocol)")
-    batches = [host_batches[i % staged_copies] for i in range(repeats)]
     staged = [staged[i % staged_copies] for i in range(repeats)]
 
     t0 = time.perf_counter()
-    sol = solve_batch(batches[0], solver="fr", dtype=np.float32,
+    sol = solve_batch(None, solver="fr", dtype=np.float32,
                       costs_device=staged[0])
     log(f"batched compile+first: {time.perf_counter() - t0:.1f}s "
         f"unassigned={int(sol.num_unassigned.sum())}")
     import sparse_linear_assignment_tpu.batch as batch_mod
 
     rates = []
-    for costs, dev in zip(batches, staged):
+    for dev in staged:
         t0 = time.perf_counter()
-        sol = solve_batch(costs, solver="fr", dtype=np.float32,
+        sol = solve_batch(None, solver="fr", dtype=np.float32,
                           costs_device=dev)
         dt = time.perf_counter() - t0
         assert int(sol.num_unassigned.sum()) == 0
@@ -163,9 +163,10 @@ def bench_batched(batch=2048, repeats=5, staged_copies=3):
     # integer costs + eps < 1/n: spot-check exactness vs scipy
     from scipy.optimize import linear_sum_assignment
 
-    for b in range(3):
-        r, c = linear_sum_assignment(batches[-1][b])
-        want = float(batches[-1][b][r, c].sum())
+    for b in (0, 1, batch - 1):
+        host = np.asarray(staged[-1][b], dtype=np.float64)
+        r, c = linear_sum_assignment(host)
+        want = float(host[r, c].sum())
         assert abs(sol.objective[b] - want) < 1e-6, (b, sol.objective[b], want)
     log("batched objectives exact vs scipy oracle (3 spot checks)")
     return best

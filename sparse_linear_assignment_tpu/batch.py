@@ -211,21 +211,81 @@ def _fr_pack_single(state: FRState):
     )
 
 
+def _pack_p2o_u16(p2o):
+    """Two u16 assignment indices per int32 word (`[B, N] -> [B, N/2]`,
+    N even and < 2**16): the result readback is bandwidth-priced
+    through the tunnel (~10-14 MB/s), so index bytes are halved on the
+    wire — the reference's u16 index-width option
+    (`solution.rs:16-17`) applied where it measurably pays.  The
+    UNASSIGNED sentinel maps to 0xFFFF."""
+    u16 = jnp.where(p2o == _INT_MAX, jnp.int32(0xFFFF), p2o)
+    lo = u16[:, 0::2]
+    hi = u16[:, 1::2]
+    return lo | (hi << 16)
+
+
+def _unpack_p2o_u16(words: np.ndarray, n: int) -> np.ndarray:
+    """Host inverse of :func:`_pack_p2o_u16` (little-endian u16 view)."""
+    u16 = np.ascontiguousarray(words.astype(np.uint32)).view(np.uint16)
+    p2o = u16[:, :n].astype(np.int32)
+    return np.where(p2o == 0xFFFF, np.int32(UNASSIGNED), p2o)
+
+
 @jax.jit
 def _fr_pack_results(states: FRState):
     """Pack every host-needed result field into ONE int32 array
-    ``[B, n + 2]`` (p2o | nits | done).  Each device→host readback
-    through this environment's tunnel costs ~240 ms of pure latency
-    regardless of size, so results must cross in one transfer; o2p is
-    not read back at all — it is reconstructed from p2o host-side."""
+    ``[B, n/2 + 2]`` (u16-packed p2o | nits | done).  Each device→host
+    readback through this environment's tunnel costs ~240 ms of pure
+    latency regardless of size, so results must cross in one transfer;
+    o2p is not read back at all — it is reconstructed from p2o
+    host-side."""
     return jnp.concatenate(
         [
-            states.p2o,
+            _pack_p2o_u16(states.p2o),
             states.nits[:, None],
             states.done.astype(jnp.int32)[:, None],
         ],
         axis=1,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("negate",))
+def _device_objective(values_t, p2o, negate):
+    """Objective in original cost units, evaluated ON DEVICE from the
+    sign-adjusted ``[B, M, N]`` values (person i's chosen value sits at
+    ``[b, p2o[b, i], i]``); unassigned persons contribute 0."""
+    assigned = p2o != _INT_MAX
+    safe = jnp.where(assigned, p2o, 0)
+    picked = jnp.take_along_axis(
+        values_t, safe[:, :, None].swapaxes(1, 2), axis=1
+    )[:, 0, :]
+    obj = jnp.sum(
+        jnp.where(assigned, picked, jnp.zeros((), values_t.dtype)),
+        axis=1, dtype=jnp.float64,
+    )
+    return -obj if negate else obj  # minimize ran on negated values
+
+
+@functools.partial(jax.jit, static_argnames=("negate",))
+def _fr_pack_results_with_objective(states: FRState, values_t, negate):
+    """Device-resident variant of :func:`_fr_pack_results`: appends the
+    device-evaluated objective (used when the caller never materializes
+    host costs) as a double-double (hi, lo) pair of bitcast-f32 lanes —
+    f64 bitcasts are not lowerable by the TPU backend's x64 rewrite, and
+    the two-word split round-trips ~49 mantissa bits, well beyond the
+    f32-valued summands' information content."""
+    packed = _fr_pack_results(states)
+    obj = _device_objective(values_t, states.p2o, negate)
+    hi = obj.astype(jnp.float32)
+    lo = (obj - hi.astype(jnp.float64)).astype(jnp.float32)
+    bits = jnp.stack(
+        [
+            lax.bitcast_convert_type(hi, jnp.int32),
+            lax.bitcast_convert_type(lo, jnp.int32),
+        ],
+        axis=1,
+    )  # [B, 2]
+    return jnp.concatenate([packed, bits], axis=1)
 
 
 def _fr_continue_bucket(values_t, states: FRState, bucket: int,
@@ -327,6 +387,7 @@ def _solve_batch_fr(
     max_iterations: int, n: int, m: int,
     chunk: int = 32, min_bucket: int = 32,
     tail_count: int | None = None, tail_rounds: int = 96,
+    negate: bool = True,
 ):
     """Forward-reverse batch driver with straggler compaction and a
     native-CPU tail.
@@ -386,6 +447,7 @@ def _solve_batch_fr(
     out_o2p = np.empty((b, m), np.int32)
     out_eps = np.empty(b, np.float64)
     out_nits = np.empty(b, np.int32)
+    out_obj = None  # device-evaluated objective (host-cost-free mode)
     orig = np.arange(b)
 
     # large square instances beyond the VMEM-resident kernel's limit:
@@ -463,17 +525,21 @@ def _solve_batch_fr(
         num_unassigned = (
             (out_p2o == UNASSIGNED).sum(axis=1).astype(np.int32)
         )
-        return out_p2o, out_o2p, num_unassigned, out_eps, out_nits
+        return out_p2o, out_o2p, num_unassigned, out_eps, out_nits, out_obj
 
     states = _fr_batch_init(values_t, start_eps)
 
-    if use_pallas and work_host is not None:  # use_pallas implies sfoe
+    if use_pallas:  # use_pallas implies sfoe
         # fast path: ONE fixed-budget multi-round kernel dispatch, ONE
         # packed readback, native-CPU tail for the stragglers.  The
         # ~240 ms-per-readback tunnel latency makes host-in-the-loop
         # scheduling (per-chunk done checks, compaction saves) cost
         # more than the solve itself; finished instances skip their
         # grid step inside the kernel, so overshooting rounds is cheap.
+        # With no host costs (work_host None — device-resident mode)
+        # the stragglers keep running fused rounds instead of a native
+        # tail, and the objective rides the packed readback (evaluated
+        # on device).
         budget = int(min(max_iterations, max(96, n + n // 4)))
         bucket = max(128, 1 << max(0, (b // 16 - 1)).bit_length())
         budget2 = int(min(max(0, max_iterations - budget), 2 * budget))
@@ -490,26 +556,48 @@ def _solve_batch_fr(
         )
         rounds = budget + budget2 + budget3
         while True:
-            packed = np.asarray(_fr_pack_results(states))
-            done_h = packed[:, n + 1] != 0
+            if work_host is None:
+                packed = np.asarray(
+                    _fr_pack_results_with_objective(
+                        states, values_t, negate
+                    )
+                )
+            else:
+                packed = np.asarray(_fr_pack_results(states))
+            half = n // 2
+            done_h = packed[:, half + 1] != 0
             undone = np.nonzero(~done_h)[0]
             trace_host(
                 "fr fused: rounds={} undone={}/{}", rounds, len(undone), b
             )
-            if len(undone) <= max(tail_count, 128) or rounds >= max_iterations:
+            tail_cut = max(tail_count, 128) if work_host is not None else 0
+            if len(undone) <= tail_cut or rounds >= max_iterations:
                 break
+            # hard stragglers with no host costs to fall back on: keep
+            # the undone-first bucket running on device
+            if work_host is None and len(undone) <= 128:
+                states = _fr_continue_bucket(
+                    values_t, states, 128, 512, False
+                )
+                rounds += 512
+                continue
             # rare: a hard batch — keep running fused rounds
             states, _ = fr_chunk_pallas(values_t, states, 128)
             rounds += 128
         global LAST_TAIL_COUNT
         LAST_TAIL_COUNT = len(undone)
-        out_p2o[:] = packed[:, :n]
-        out_nits[:] = packed[:, n]
+        out_p2o[:] = _unpack_p2o_u16(packed[:, :half], n)
+        out_nits[:] = packed[:, half]
         out_eps[:] = float(target_eps)
+        if work_host is None:
+            words = np.ascontiguousarray(
+                packed[:, half + 2:half + 4]
+            ).view(np.float32)
+            out_obj = words[:, 0].astype(np.float64) + words[:, 1]
         # o2p from p2o host-side (the matching is a bijection on the
         # assigned pairs) — cheaper than reading it back
         out_o2p[:] = o2p_from_p2o(out_p2o, m)
-        if len(undone) and rounds < max_iterations:
+        if work_host is not None and len(undone) and rounds < max_iterations:
             from concurrent.futures import ThreadPoolExecutor
 
             trace_host(
@@ -532,7 +620,7 @@ def _solve_batch_fr(
                     out_o2p[i] = o2p_i
                     out_nits[i] = rounds
         num_unassigned = (out_p2o == UNASSIGNED).sum(axis=1).astype(np.int32)
-        return out_p2o, out_o2p, num_unassigned, out_eps, out_nits
+        return out_p2o, out_o2p, num_unassigned, out_eps, out_nits, out_obj
 
     def save_rows(rows):
         """Read back the full (bucket-sized, fixed-shape) state and
@@ -589,7 +677,7 @@ def _solve_batch_fr(
             )
             cur_b = target_b
 
-    if undone is not None and len(undone):
+    if undone is not None and len(undone) and work_host is not None:
         # native sequential tail: each straggler is a small independent
         # instance; ctypes releases the GIL, so thread across host cores
         from concurrent.futures import ThreadPoolExecutor
@@ -616,7 +704,7 @@ def _solve_batch_fr(
         save_rows(np.arange(cur_b))
 
     num_unassigned = (out_p2o == UNASSIGNED).sum(axis=1).astype(np.int32)
-    return out_p2o, out_o2p, num_unassigned, out_eps, out_nits
+    return out_p2o, out_o2p, num_unassigned, out_eps, out_nits, out_obj
 
 
 class _FlatForwardState(NamedTuple):
@@ -740,7 +828,7 @@ def _pallas_usable(solver: str, n: int, m: int, dtype) -> bool:
 def _solve_batch_dense(
     values_t, eps, target_eps, toleration, thresholds,
     solver: str, max_iterations: int, n: int, m: int, chunk: int = 64,
-    work_host=None,
+    work_host=None, negate: bool = True,
 ):
     b = values_t.shape[0]
     dtype = values_t.dtype
@@ -749,7 +837,7 @@ def _solve_batch_dense(
     if solver == "fr":
         return _solve_batch_fr(
             values_t, work_host, target_eps, toleration, thresholds,
-            max_iterations, n, m,
+            max_iterations, n, m, negate=negate,
         )
     target_eps = np_dtype.type(target_eps)
     toleration = np_dtype.type(toleration)
@@ -805,7 +893,7 @@ def _solve_batch_dense(
         )
     else:
         final_eps = states.eps
-    return states.p2o, states.o2p, num_unassigned, final_eps, states.nits
+    return states.p2o, states.o2p, num_unassigned, final_eps, states.nits, None
 
 
 def solve_batch(
@@ -837,13 +925,32 @@ def solve_batch(
     transfer (stage batches ahead of time to overlap transfer with
     compute; mirrors the reference bench's setup/measure split,
     `benchmark.rs:111-125`).
+
+    **Device-resident mode**: pass ``costs=None`` with only
+    ``costs_device`` (``solver="fr"`` square instances) and the solve
+    never touches host memory — the objective is evaluated on device
+    and rides the single packed readback, and stragglers finish with
+    on-device continuation instead of the native tail.  This is the
+    full production path for device-generated workloads (no PCIe/tunnel
+    ingress at all).
     """
-    costs = np.asarray(costs)
-    if costs.ndim != 3:
-        raise ValueError("costs must be [batch, num_rows, num_cols]")
-    b, n, m = costs.shape
+    if costs is None:
+        if costs_device is None:
+            raise ValueError("pass costs, costs_device, or both")
+        if solver != "fr":
+            raise ValueError(
+                "device-resident mode (costs=None) requires solver='fr'"
+            )
+        b, n, m = costs_device.shape
+    else:
+        costs = np.asarray(costs)
+        if costs.ndim != 3:
+            raise ValueError("costs must be [batch, num_rows, num_cols]")
+        b, n, m = costs.shape
     if n > m:
         raise ValueError("num_rows must be <= num_cols")
+    if costs is None and n != m:
+        raise ValueError("device-resident mode requires square instances")
     if solver == "fr" and n != m:
         # reverse bidding requires every object to be matchable; the
         # forward-only engine covers asymmetric instances (the same
@@ -858,7 +965,7 @@ def solve_batch(
     # the analogue of the reference bench's iter_batched setup exclusion,
     # `benchmark.rs:111-125`).
     if costs_device is not None:
-        if costs_device.shape != costs.shape:
+        if costs is not None and costs_device.shape != costs.shape:
             raise ValueError("costs_device must match costs' shape")
         costs_dev = jnp.asarray(costs_device, dtype)
     else:
@@ -898,7 +1005,7 @@ def solve_batch(
             2.0 ** (max(0, int(np.log2(float(c.max()) + 1e-7))) - 53)
         )
 
-    p2o, o2p, num_unassigned, final_eps, nits = _solve_batch_dense(
+    p2o, o2p, num_unassigned, final_eps, nits, obj_dev = _solve_batch_dense(
         values_t,
         float(eps_val),
         float(target_eps),
@@ -908,7 +1015,8 @@ def solve_batch(
         int(max_iterations),
         n,
         m,
-        work_host=(costs, maximize),
+        work_host=(costs, maximize) if costs is not None else None,
+        negate=not maximize,
     )
 
     p2o_np = np.asarray(p2o)
@@ -916,14 +1024,21 @@ def solve_batch(
     # reconstruct object_to_person from the final matching (keep-valid
     # phases leave o2p stale by design, see forward_round)
     o2p = o2p_from_p2o(p2o_np, m)
-    safe = np.where(assigned, p2o_np, 0)
-    costs64 = costs if costs.dtype == np.float64 else costs.astype(
-        np.float64
-    )
-    picked = np.take_along_axis(
-        costs64, safe[:, :, None], axis=2
-    )[:, :, 0]
-    objective = np.where(assigned, picked, 0.0).sum(axis=1)
+    if costs is None:
+        if obj_dev is None:  # non-fused device-resident path
+            obj_dev = np.asarray(_device_objective(
+                values_t, jnp.asarray(p2o_np), not maximize
+            ))
+        objective = np.asarray(obj_dev, dtype=np.float64)
+    else:
+        safe = np.where(assigned, p2o_np, 0)
+        costs64 = costs if costs.dtype == np.float64 else costs.astype(
+            np.float64
+        )
+        picked = np.take_along_axis(
+            costs64, safe[:, :, None], axis=2
+        )[:, :, 0]
+        objective = np.where(assigned, picked, 0.0).sum(axis=1)
 
     return BatchSolution(
         person_to_object=p2o_np,

@@ -1059,11 +1059,14 @@ def solve_batch_sharded(
         if int(undone) == 0 or rounds >= max_iterations:
             break
 
-    # ONE packed readback (p2o | nits | done) — per-array readbacks
-    # each pay the tunnel's ~240 ms latency
+    # ONE packed readback (u16-packed p2o | nits | done) — per-array
+    # readbacks each pay the tunnel's ~240 ms latency
+    from ..batch import _unpack_p2o_u16
+
     packed = np.asarray(_fr_pack_results(states))
-    p2o = packed[:b, :n]
-    nits = packed[:b, n]
+    half = n // 2
+    p2o = _unpack_p2o_u16(packed[:b, :half], n)
+    nits = packed[:b, half]
     assigned = p2o != UNASSIGNED
     o2p = o2p_from_p2o(p2o, m)
     safe = np.where(assigned, p2o, 0)

@@ -192,3 +192,44 @@ def test_batched_lap_stage_and_device_costs():
     assert np.all(sol.num_unassigned == 0)
     want = oracle_batch(costs)
     np.testing.assert_allclose(sol.objective, want, atol=1e-9)
+
+
+def test_solve_batch_device_resident_mode():
+    """costs=None + costs_device: the solve never touches host costs —
+    objective is evaluated on device and stragglers finish on device
+    (the zero-ingress production path)."""
+    import jax.numpy as jnp
+    from scipy.optimize import linear_sum_assignment
+
+    from sparse_linear_assignment_tpu.batch import solve_batch
+
+    rng = np.random.default_rng(21)
+    costs = rng.integers(1, 100, size=(3, 32, 32)).astype(np.float64)
+    dev = jnp.asarray(costs.astype(np.float32))
+    sol = solve_batch(None, solver="fr", dtype=np.float32,
+                      eps=1.0 / 33, costs_device=dev)
+    assert int(sol.num_unassigned.sum()) == 0
+    for b in range(3):
+        r, c = linear_sum_assignment(costs[b])
+        want = float(costs[b][r, c].sum())
+        assert abs(float(sol.objective[b]) - want) < 1e-6, (b,)
+
+    # maximize in device mode
+    solmax = solve_batch(None, solver="fr", maximize=True,
+                         dtype=np.float32, eps=1.0 / 33, costs_device=dev)
+    for b in range(3):
+        r, c = linear_sum_assignment(-costs[b])
+        want = float(costs[b][r, c].sum())
+        assert abs(float(solmax.objective[b]) - want) < 1e-6, (b,)
+
+
+def test_solve_batch_device_mode_validation():
+    from sparse_linear_assignment_tpu.batch import solve_batch
+
+    with pytest.raises(ValueError, match="costs"):
+        solve_batch(None)
+    import jax.numpy as jnp
+
+    dev = jnp.zeros((2, 8, 8), np.float32)
+    with pytest.raises(ValueError, match="solver='fr'"):
+        solve_batch(None, solver="forward", costs_device=dev)
