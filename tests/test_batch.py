@@ -233,3 +233,23 @@ def test_solve_batch_device_mode_validation():
     dev = jnp.zeros((2, 8, 8), np.float32)
     with pytest.raises(ValueError, match="solver='fr'"):
         solve_batch(None, solver="forward", costs_device=dev)
+
+
+def test_p2o_u16_pack_roundtrip():
+    """Wire-format edge cases: high indices and the UNASSIGNED
+    sentinel must round-trip the u16 packing exactly."""
+    import jax.numpy as jnp
+
+    from sparse_linear_assignment_tpu.batch import (
+        _pack_p2o_u16,
+        _unpack_p2o_u16,
+    )
+    from sparse_linear_assignment_tpu.solution import UNASSIGNED
+
+    p2o = np.array(
+        [[0, 1, 65533, UNASSIGNED], [255, 256, 65534, 2]], np.int32
+    )
+    words = np.asarray(_pack_p2o_u16(jnp.asarray(p2o)))
+    assert words.shape == (2, 2)
+    out = _unpack_p2o_u16(words, 4)
+    np.testing.assert_array_equal(out, p2o)
