@@ -50,6 +50,19 @@ from ..utils.trace import trace_round
 
 _INT_MAX = jnp.int32(UNASSIGNED)
 
+#: "minus infinity" for the integer-auction mode (values/prices in
+#: scaled int32 arithmetic): far below any reachable profit, far above
+#: int32 overflow when combined with real values
+INT_SENTINEL = -(2**30)
+
+
+def _neg_inf(dtype):
+    """The masking sentinel for a value dtype: −inf for floats, a deep
+    negative constant for the integer-auction mode."""
+    if jnp.issubdtype(dtype, jnp.integer):
+        return jnp.asarray(INT_SENTINEL, dtype)
+    return jnp.asarray(-jnp.inf, dtype)
+
 
 #: initial stalled-phase preemption horizon (rounds); doubles on each
 #: preemption until the next cardinality increase
@@ -104,8 +117,12 @@ def _forward_sub(vals_t, prices, profits, p2o, o2p, eps, done):
     recovering ``best_val`` (this is the hot kernel's per-round cost).
     The ``won``/``displaced`` flags share a single coded reduction:
     both indicator matrices are one-hot per column, so an f32 sum of
-    ``t_won + 2·t_disp`` recovers each bit exactly."""
-    neg_inf = -jnp.inf
+    ``t_won + 2·t_disp`` recovers each bit exactly.
+
+    Works on float values (−inf masking) and, for the integer-auction
+    mode (scaled int32 costs, integer ε — see ``batch.solve_batch``'s
+    ``integer`` option), on int32 values with a deep-negative sentinel."""
+    neg_inf = _neg_inf(vals_t.dtype)
     m, n = vals_t.shape
     shape = (m, n)
     j_iota = lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -163,8 +180,10 @@ def _reverse_sub(vals_t, prices, profits, p2o, o2p, eps, done):
     bidders offer ``pi = profits[i] + (beta − rfloor + eps)``, so the
     per-object increment resolves the conflict and the winner's profit
     becomes ``profits[i] + max_increment``; ``won_obj``/``freed`` share
-    one coded f32 reduction (both indicators one-hot per row)."""
-    neg_inf = -jnp.inf
+    one coded f32 reduction (both indicators one-hot per row).
+    Int32 values use the sentinel-masking scheme of
+    :func:`_forward_sub`."""
+    neg_inf = _neg_inf(vals_t.dtype)
     m, n = vals_t.shape
     shape = (m, n)
     j_iota = lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -259,6 +278,13 @@ def fr_round(
     the joint (pi, p) invariant holds at the new ε.
     """
     dtype = s.prices.dtype
+    if jnp.issubdtype(dtype, jnp.integer) and not skip_certificate:
+        # the integer-auction mode has no fractional ε-ladder; it always
+        # starts at the (integer) target ε, where a full assignment is
+        # the certificate
+        raise ValueError(
+            "integer-auction FR rounds require skip_certificate=True"
+        )
     prices, profits, p2o, o2p = _forward_sub(
         vals_t, s.prices, s.profits, s.p2o, s.o2p, s.eps,
         s.done | ~s.forward_mode,

@@ -53,14 +53,24 @@ def _xla_rounds(values_t, states, target_eps, rounds):
 
 @pytest.mark.parametrize("rounds", [1, 7, 40])
 @pytest.mark.parametrize("group", [1, 2, 4])
-def test_kernel_matches_xla_rounds(rounds, group):
+@pytest.mark.parametrize("mode", ["f32", "int"])
+def test_kernel_matches_xla_rounds(rounds, group, mode):
     rng = np.random.default_rng(5)
     b, n = 4, 128
     costs = rng.integers(1, 100, size=(b, n, n)).astype(np.float64)
-    values_t = jnp.asarray(
-        np.swapaxes(-costs, 1, 2).astype(np.float32)
-    )
-    eps = np.float32(1.0 / n)
+    if mode == "int":
+        # integer-auction lattice: costs scaled by (n+1), eps = 1; the
+        # kernel's packed-key trees must match the XLA sentinel rounds
+        # bit-for-bit
+        values_t = jnp.asarray(
+            np.swapaxes(-costs, 1, 2).astype(np.int32) * (n + 1)
+        )
+        eps = np.int32(1)
+    else:
+        values_t = jnp.asarray(
+            np.swapaxes(-costs, 1, 2).astype(np.float32)
+        )
+        eps = np.float32(1.0 / n)
     s0 = _init_states(values_t, eps)
 
     want = _xla_rounds(values_t, s0, eps, rounds)
@@ -99,6 +109,31 @@ def test_kernel_solves_to_optimum_interpret():
     values_t = jnp.asarray(np.swapaxes(-costs, 1, 2).astype(np.float32))
     eps = np.float32(1.0 / (n + 1))
     states = _init_states(values_t, eps)
+    for _ in range(40):  # chunks of 16 rounds
+        states, alldone = fr_chunk_pallas(values_t, states, 16,
+                                          interpret=True)
+        if bool(alldone):
+            break
+    assert bool(alldone)
+    p2o = np.asarray(states.p2o)
+    for bi in range(b):
+        r, c = linear_sum_assignment(costs[bi])
+        want = costs[bi][r, c].sum()
+        got = costs[bi][np.arange(n), p2o[bi]].sum()
+        assert abs(got - want) < 1e-6, (bi, got, want)
+
+
+def test_kernel_solves_to_optimum_interpret_int():
+    """Integer-auction mode end-to-end in interpret mode: scaled int32
+    costs, eps=1 (== 1/(n+1) in original units, inside the n·eps < 1
+    exactness bound) must reach the exact scipy optimum."""
+    rng = np.random.default_rng(11)
+    b, n = 3, 128
+    costs = rng.integers(1, 100, size=(b, n, n)).astype(np.float64)
+    values_t = jnp.asarray(
+        np.swapaxes(-costs, 1, 2).astype(np.int32) * (n + 1)
+    )
+    states = _init_states(values_t, np.int32(1))
     for _ in range(40):  # chunks of 16 rounds
         states, alldone = fr_chunk_pallas(values_t, states, 16,
                                           interpret=True)
