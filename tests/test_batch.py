@@ -235,6 +235,91 @@ def test_solve_batch_device_mode_validation():
         solve_batch(None, solver="forward", costs_device=dev)
 
 
+def test_batch_integer_auction_mode_exact():
+    """Auto-detected integer-auction mode (scaled-int32 lattice, packed
+    selection keys): exact optimum, lattice eps reported."""
+    rng = np.random.default_rng(31)
+    b, n = 3, 128
+    costs = rng.integers(1, 100, size=(b, n, n)).astype(np.float64)
+    sol = solve_batch(costs, solver="fr")
+    assert np.all(sol.num_unassigned == 0)
+    want = oracle_batch(costs)
+    np.testing.assert_allclose(sol.objective, want, atol=1e-9)
+    # the lattice eps: scale = n + 1 when no eps was requested
+    np.testing.assert_allclose(sol.eps, 1.0 / (n + 1))
+    for bi in range(b):
+        for i, j in enumerate(sol.person_to_object[bi]):
+            assert sol.object_to_person[bi, j] == i
+
+
+def test_batch_integer_auction_maximize_and_opt_out():
+    rng = np.random.default_rng(32)
+    b, n = 2, 128
+    costs = rng.integers(1, 100, size=(b, n, n)).astype(np.float64)
+    want = oracle_batch(costs, maximize=True)
+    sol = solve_batch(costs, solver="fr", maximize=True)
+    np.testing.assert_allclose(sol.objective, want, atol=1e-9)
+    # integer=False forces the float path; same exact optimum
+    solf = solve_batch(costs, solver="fr", maximize=True, integer=False)
+    np.testing.assert_allclose(solf.objective, want, atol=1e-9)
+    assert not np.allclose(solf.eps, sol.eps)  # float path: eps = 1/n
+
+
+def test_batch_integer_auction_eps_lattice():
+    """A caller eps that is not a unit fraction rounds to the next
+    finer lattice (D = ceil(1/eps)); sol.eps reports 1/D."""
+    rng = np.random.default_rng(33)
+    b, n = 2, 128
+    costs = rng.integers(1, 50, size=(b, n, n)).astype(np.float64)
+    sol = solve_batch(costs, solver="fr", eps=0.003)
+    assert np.allclose(sol.eps, 1.0 / 334)
+    want = oracle_batch(costs)
+    np.testing.assert_allclose(sol.objective, want, atol=1e-9)
+
+
+def test_batch_integer_device_mode():
+    """Device-resident + integer=True (max_cost mandatory): the exact
+    device-evaluated objective comes back in original units."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(34)
+    b, n = 2, 128
+    costs = rng.integers(1, 100, size=(b, n, n)).astype(np.float64)
+    dev = jnp.asarray(costs.astype(np.float32))
+    with pytest.raises(ValueError, match="max_cost"):
+        solve_batch(None, solver="fr", costs_device=dev, integer=True)
+    sol = solve_batch(None, solver="fr", costs_device=dev,
+                      integer=True, max_cost=100)
+    assert np.all(sol.num_unassigned == 0)
+    want = oracle_batch(costs)
+    np.testing.assert_allclose(sol.objective, want, atol=1e-9)
+
+
+def test_integer_scale_gating():
+    """The mode only engages where the packed keys are exact and the
+    fused-kernel layout applies."""
+    from sparse_linear_assignment_tpu.batch import _integer_scale
+
+    ints = np.ones((2, 128, 128))
+    # engaged: square, 128-aligned, integral
+    assert _integer_scale(ints, None, 128, 128, None, None) == 129
+    # non-square / misaligned / oversized: float path
+    assert _integer_scale(ints, None, 128, 256, None, None) is None
+    assert _integer_scale(ints, None, 100, 100, None, None) is None
+    assert _integer_scale(ints, None, 2048, 2048, None, None) is None
+    # fractional costs: float path
+    fr = np.full((2, 128, 128), 1.5)
+    assert _integer_scale(fr, None, 128, 128, None, None) is None
+    # key-range overflow (c * scale * 2^sh too big): float path
+    big = np.full((2, 128, 128), 1e6)
+    assert _integer_scale(big, None, 128, 128, None, None) is None
+    # device-resident (costs=None) engages only on explicit opt-in
+    assert _integer_scale(None, None, 128, 128, None, None) is None
+    assert _integer_scale(None, None, 128, 128, True, 100) == 129
+    with pytest.raises(ValueError, match="max_cost"):
+        _integer_scale(None, None, 128, 128, True, None)
+
+
 def test_p2o_u16_pack_roundtrip():
     """Wire-format edge cases: high indices and the UNASSIGNED
     sentinel must round-trip the u16 packing exactly."""
