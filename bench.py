@@ -140,9 +140,14 @@ def bench_batched(batch=4096, repeats=5, staged_copies=3):
         f"criterion-iter_batched protocol)")
     staged = [staged[i % staged_copies] for i in range(repeats)]
 
+    # the generated costs are integers in [1, 1000): run the
+    # integer-auction mode (scaled-int32 lattice, exact packed
+    # selection keys — measured ~9% faster e2e and bit-exact by
+    # construction); device-resident inputs need the explicit opt-in
+    # plus max_cost (a device max would cost a tunnel readback)
     t0 = time.perf_counter()
     sol = solve_batch(None, solver="fr", dtype=np.float32,
-                      costs_device=staged[0])
+                      costs_device=staged[0], integer=True, max_cost=1000)
     log(f"batched compile+first: {time.perf_counter() - t0:.1f}s "
         f"unassigned={int(sol.num_unassigned.sum())}")
     import sparse_linear_assignment_tpu.batch as batch_mod
@@ -151,7 +156,7 @@ def bench_batched(batch=4096, repeats=5, staged_copies=3):
     for dev in staged:
         t0 = time.perf_counter()
         sol = solve_batch(None, solver="fr", dtype=np.float32,
-                          costs_device=dev)
+                          costs_device=dev, integer=True, max_cost=1000)
         dt = time.perf_counter() - t0
         assert int(sol.num_unassigned.sum()) == 0
         rates.append(batch / dt)
