@@ -955,11 +955,19 @@ def sharded_fr_batch_core(mesh: Mesh, chunk: int = 64,
     return jax.jit(fn)
 
 
-def _stage_values_t_sharded(costs_dev, negate: bool, b_pad: int):
+def _stage_values_t_sharded(costs_dev, negate: bool, b_pad: int,
+                            scale: int = 0):
     """Device-side staging: sign-adjust, transpose to [B, M, N] and pad
     the batch with copies of instance 0 — one compiled program instead
-    of host-side work inside the timed region."""
-    x = -costs_dev if negate else costs_dev
+    of host-side work inside the timed region.  ``scale`` != 0 lifts
+    integral costs onto the scaled-int32 lattice (the integer-auction
+    mode, ``batch._integer_scale``); the multiply runs in int32 so no
+    f32 mantissa limit applies."""
+    if scale:
+        x = jnp.round(costs_dev).astype(jnp.int32) * jnp.int32(scale)
+    else:
+        x = costs_dev
+    x = -x if negate else x
     b = x.shape[0]
     if b_pad != b:
         x = jnp.concatenate(
@@ -969,12 +977,13 @@ def _stage_values_t_sharded(costs_dev, negate: bool, b_pad: int):
 
 
 @functools.lru_cache(maxsize=16)
-def _staging_core(bsh, negate: bool, b_pad: int):
+def _staging_core(bsh, negate: bool, b_pad: int, scale: int = 0):
     """Cached jit wrapper for the sharded staging program — building a
     fresh jax.jit object per call would re-trace every staged solve."""
     return jax.jit(
         functools.partial(
-            _stage_values_t_sharded, negate=negate, b_pad=b_pad
+            _stage_values_t_sharded, negate=negate, b_pad=b_pad,
+            scale=scale,
         ),
         out_shardings=bsh,
     )
@@ -989,6 +998,8 @@ def solve_batch_sharded(
     max_iterations: int = 100_000,
     chunk: int = 64,
     costs_device=None,
+    integer: bool | None = None,
+    max_cost: float | None = None,
 ):
     """Solve a batch of dense symmetric LAP instances ``costs[B, N, N]``
     sharded over ``mesh`` (forward-reverse engine, no ε-ladder).
@@ -1001,9 +1012,18 @@ def solve_batch_sharded(
     ``costs_device`` optionally supplies a pre-staged device copy of
     the cost tensor (the criterion ``iter_batched`` protocol — staging
     excluded from the timed region, as in ``batch.solve_batch``).
+    ``integer``/``max_cost``: the integer-auction mode of
+    ``batch.solve_batch`` (scaled-int32 lattice with exact packed
+    selection keys in the per-chip kernel; auto-detected on integral
+    costs, ``integer=False`` opts out).
     Returns a :class:`~..batch.BatchSolution`.
     """
-    from ..batch import BatchSolution, _fr_batch_init, _fr_pack_results
+    from ..batch import (
+        BatchSolution,
+        _fr_batch_init,
+        _fr_pack_results,
+        _integer_scale,
+    )
 
     costs = np.asarray(costs)
     b, n, m = costs.shape
@@ -1012,24 +1032,36 @@ def solve_batch_sharded(
     d = int(np.prod(mesh.devices.shape))
     b_pad = ((b + d - 1) // d) * d
 
-    target_eps = np.dtype(dtype).type(
-        float(eps) if eps is not None else 1.0 / n
-    )
+    int_scale = _integer_scale(costs, eps, n, m, integer, max_cost)
+    if int_scale is not None:
+        dtype = np.int32
+        target_eps = np.int32(1)
+    else:
+        target_eps = np.dtype(dtype).type(
+            float(eps) if eps is not None else 1.0 / n
+        )
     axis = mesh.axis_names[0]
     bsh = NamedSharding(mesh, P(axis))
     if costs_device is None:
-        work = costs if maximize else -costs
-        work32 = work.astype(dtype)
+        if int_scale is not None:
+            work = np.rint(costs).astype(np.int32) * np.int32(int_scale)
+        else:
+            work = costs.astype(dtype)
+        if not maximize:
+            work = -work
         if b_pad != b:
-            work32 = np.concatenate(
-                [work32, np.repeat(work32[:1], b_pad - b, axis=0)],
+            work = np.concatenate(
+                [work, np.repeat(work[:1], b_pad - b, axis=0)],
                 axis=0,
             )
-        values_t = jax.device_put(np.swapaxes(work32, 1, 2), bsh)
-    else:
-        values_t = _staging_core(bsh, not maximize, b_pad)(
-            costs_device.astype(dtype)
+        values_t = jax.device_put(
+            np.ascontiguousarray(np.swapaxes(work, 1, 2)), bsh
         )
+    else:
+        values_t = _staging_core(
+            bsh, not maximize, b_pad, int_scale or 0
+        )(costs_device if int_scale is not None
+          else costs_device.astype(dtype))
     # on-device state init sharded like the values (one program, no
     # per-array host uploads)
     states = _fr_batch_init(
@@ -1039,7 +1071,7 @@ def solve_batch_sharded(
     # same per-chip program as the single-chip fast path when the shape
     # fits the VMEM-resident kernel (batch._solve_batch_fr's use_pallas)
     use_kernel = bool(
-        np.dtype(dtype) == np.float32
+        np.dtype(dtype) in (np.float32, np.int32)
         and n % 128 == 0
         and m % 8 == 0
         and n * m <= 1024 * 1024
@@ -1082,6 +1114,10 @@ def solve_batch_sharded(
         object_to_person=o2p,
         num_unassigned=(~assigned).sum(axis=1).astype(np.int32),
         objective=objective,
-        eps=np.full(b, float(target_eps)),
+        # lattice ε = 1 corresponds to 1/scale in original cost units
+        eps=np.full(
+            b,
+            1.0 / int_scale if int_scale is not None else float(target_eps),
+        ),
         nits=nits,
     )

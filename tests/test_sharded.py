@@ -227,6 +227,32 @@ def test_sharded_fr_dense_padding():
     assert objective == costs[r, c].sum()
 
 
+def test_sharded_batched_fr_integer_mode():
+    """Auto-detected integer-auction mode on the sharded batched
+    engine (scaled-int32 lattice per chip): exact optimum, lattice eps
+    reported, B not a multiple of the mesh."""
+    from sparse_linear_assignment_tpu.parallel.sharded import (
+        solve_batch_sharded,
+    )
+
+    rng = np.random.default_rng(41)
+    b, n = 3, 128
+    costs = rng.integers(1, 200, size=(b, n, n)).astype(np.float64)
+    mesh = make_mesh(2)
+    sol = solve_batch_sharded(costs, mesh)
+    assert np.all(sol.num_unassigned == 0)
+    np.testing.assert_allclose(sol.eps, 1.0 / (n + 1))
+    for bi in range(b):
+        r, c = linear_sum_assignment(costs[bi])
+        want = float(costs[bi][r, c].sum())
+        assert abs(sol.objective[bi] - want) < 1e-9
+
+    # integer=False keeps the float path; same exact optimum
+    ref = solve_batch_sharded(costs, mesh, integer=False)
+    np.testing.assert_allclose(ref.objective, sol.objective, atol=1e-9)
+    assert not np.allclose(ref.eps, sol.eps)
+
+
 def test_sharded_batched_fr_device_staged():
     """costs_device staging path (device-side sign/transpose/pad with
     sharded out_shardings) matches the host-staged result."""
