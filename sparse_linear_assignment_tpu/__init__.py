@@ -56,7 +56,13 @@ if not os.environ.get("SLAP_TPU_NO_COMPILE_CACHE"):
     except (OSError, AttributeError):  # pragma: no cover
         pass
 
-from .solution import INDEX_DTYPE, UNASSIGNED, AuctionSolution  # noqa: E402
+from .solution import (  # noqa: E402
+    INDEX_DTYPE,
+    UNASSIGNED,
+    AuctionSolution,
+    convert_indices,
+    unassigned_value,
+)
 from .solver import AuctionSolver  # noqa: E402
 from .ksparse import KhoslaSolver  # noqa: E402
 from .symmetric import ForwardAuctionSolver  # noqa: E402
@@ -68,6 +74,8 @@ __all__ = [
     "ForwardAuctionSolver",
     "UNASSIGNED",
     "INDEX_DTYPE",
+    "unassigned_value",
+    "convert_indices",
     "solve_batch",
     "solve_batch_sparse",
     "BatchedLAP",

@@ -69,6 +69,28 @@ class BatchSolution:
     eps: np.ndarray  # [B] achieved eps (forward) or scalar-broadcast
     nits: np.ndarray  # int32 [B]
 
+    def astype_index(self, index_dtype) -> "BatchSolution":
+        """A copy with both assignment arrays in another index width
+        (u16/u32 — the reference's index genericity, `solution.rs:4-17`;
+        halves host memory of `[B, N]` results at u16), sentinel
+        remapped to the target dtype's max.  The batched readback
+        already travels u16-packed on the wire (:func:`_pack_p2o_u16`);
+        this makes the narrow width available at rest too."""
+        from .solution import convert_indices
+
+        return BatchSolution(
+            person_to_object=convert_indices(
+                self.person_to_object, index_dtype
+            ),
+            object_to_person=convert_indices(
+                self.object_to_person, index_dtype
+            ),
+            num_unassigned=self.num_unassigned,
+            objective=self.objective,
+            eps=self.eps,
+            nits=self.nits,
+        )
+
 
 @functools.partial(
     jax.jit, static_argnames=("solver", "max_iterations", "chunk", "n", "m")

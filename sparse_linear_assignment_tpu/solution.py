@@ -22,6 +22,39 @@ UNASSIGNED: int = np.iinfo(np.int32).max
 INDEX_DTYPE = np.int32
 
 
+def unassigned_value(index_dtype=INDEX_DTYPE) -> int:
+    """The UNASSIGNED sentinel for an index dtype — the reference's
+    ``I::max_value()`` convention (``solution.rs:27-34``): ``2**31 - 1``
+    for int32, ``65535`` for uint16, ``2**32 - 1`` for uint32."""
+    return int(np.iinfo(np.dtype(index_dtype)).max)
+
+
+def convert_indices(arr: np.ndarray, index_dtype) -> np.ndarray:
+    """Convert an int32 assignment array to another index width,
+    remapping the ``UNASSIGNED`` sentinel to the target dtype's
+    ``max_value()`` — the TPU-native form of the reference's
+    ``UnsignedInt`` u16/u32 genericity (``solution.rs:4-17``).
+
+    Device compute always runs int32 (the TPU-native index type; the
+    batched readback already travels u16-packed on the wire); narrower
+    widths are a host-storage concern, so the width choice is this
+    explicit O(n) conversion rather than a type parameter.  Raises
+    ``ValueError`` if a real index does not fit (sentinel excluded)."""
+    dt = np.dtype(index_dtype)
+    arr = np.asarray(arr)
+    sent = unassigned_value(dt)
+    real = arr != UNASSIGNED
+    if real.any():
+        hi = int(arr[real].max())
+        lo = int(arr[real].min())
+        if hi >= sent or lo < 0:
+            raise ValueError(
+                f"index {hi if hi >= sent else lo} does not fit "
+                f"{dt.name} (sentinel {sent})"
+            )
+    return np.where(real, arr, sent).astype(dt)
+
+
 @dataclasses.dataclass
 class AuctionSolution:
     """Result of a linear assignment solve.
@@ -54,6 +87,22 @@ class AuctionSolution:
             object_to_person=np.zeros(0, dtype=INDEX_DTYPE),
             num_unassigned=UNASSIGNED,
             eps=math.nan,
+        )
+
+    def astype_index(self, index_dtype) -> "AuctionSolution":
+        """A copy with both assignment arrays in another index width
+        (u16/u32 — the reference's ``AuctionSolution<I>`` genericity,
+        ``solution.rs:4-17``), sentinel remapped to the target dtype's
+        ``max_value()``.  See :func:`convert_indices`."""
+        return AuctionSolution(
+            person_to_object=convert_indices(
+                self.person_to_object, index_dtype
+            ),
+            object_to_person=convert_indices(
+                self.object_to_person, index_dtype
+            ),
+            num_unassigned=self.num_unassigned,
+            eps=self.eps,
         )
 
 

@@ -320,6 +320,51 @@ def test_integer_scale_gating():
         _integer_scale(None, None, 128, 128, True, None)
 
 
+def test_index_width_conversion():
+    """u16/u32 index-width option (`solution.rs:4-17`): sentinel
+    remapped to the target dtype's max, range-validated, on both the
+    single-instance and batched solution objects."""
+    from sparse_linear_assignment_tpu import (
+        UNASSIGNED,
+        AuctionSolution,
+        convert_indices,
+        unassigned_value,
+    )
+
+    assert unassigned_value(np.uint16) == 0xFFFF
+    assert unassigned_value(np.uint32) == 2**32 - 1
+    assert unassigned_value() == UNASSIGNED
+
+    arr = np.array([0, 5, 65534, UNASSIGNED], np.int32)
+    u16 = convert_indices(arr, np.uint16)
+    assert u16.dtype == np.uint16
+    np.testing.assert_array_equal(u16, [0, 5, 65534, 0xFFFF])
+    with pytest.raises(ValueError, match="does not fit"):
+        convert_indices(np.array([65535], np.int32), np.uint16)
+
+    sol = AuctionSolution(
+        person_to_object=np.array([1, UNASSIGNED], np.int32),
+        object_to_person=np.array([UNASSIGNED, 0], np.int32),
+        num_unassigned=1,
+        eps=0.5,
+    )
+    s16 = sol.astype_index(np.uint16)
+    np.testing.assert_array_equal(s16.person_to_object, [1, 0xFFFF])
+    np.testing.assert_array_equal(s16.object_to_person, [0xFFFF, 0])
+    assert s16.num_unassigned == 1 and s16.eps == 0.5
+
+    # batched: solve then narrow; round-trips exactly
+    rng = np.random.default_rng(44)
+    costs = rng.integers(1, 50, size=(2, 16, 16)).astype(np.float64)
+    bs = solve_batch(costs, solver="fr", dtype=np.float64)
+    b16 = bs.astype_index(np.uint16)
+    assert b16.person_to_object.dtype == np.uint16
+    np.testing.assert_array_equal(
+        b16.person_to_object.astype(np.int32), bs.person_to_object
+    )
+    np.testing.assert_array_equal(b16.objective, bs.objective)
+
+
 def test_p2o_u16_pack_roundtrip():
     """Wire-format edge cases: high indices and the UNASSIGNED
     sentinel must round-trip the u16 packing exactly."""
