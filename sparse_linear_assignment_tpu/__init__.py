@@ -77,6 +77,7 @@ __all__ = [
     "unassigned_value",
     "convert_indices",
     "solve_batch",
+    "solve_batch_stream",
     "solve_batch_sparse",
     "BatchedLAP",
 ]
@@ -86,7 +87,12 @@ __version__ = "0.1.0"
 
 def __getattr__(name):
     # lazy import to keep base import light
-    if name in ("solve_batch", "solve_batch_sparse", "BatchedLAP"):
+    if name in (
+        "solve_batch",
+        "solve_batch_stream",
+        "solve_batch_sparse",
+        "BatchedLAP",
+    ):
         from . import batch
 
         return getattr(batch, name)

@@ -369,6 +369,23 @@ def _fr_pack_results_with_objective(states: FRState, values_t, negate):
     return jnp.concatenate([packed, bits], axis=1)
 
 
+def _fr_fused_schedule(b: int, n: int, max_iterations: int):
+    """Round-budget schedule of the fused one-dispatch solve: a main
+    budget covering the p50..p97 of the heavy-tailed round distribution
+    (p50 ~136, p99 ~397, max ~950 at 256²), then two undone-first
+    continuation levels with geometrically deeper budgets on smaller
+    buckets (done instances exit their grid step, so deep budgets on
+    tiny buckets are nearly free)."""
+    budget = int(min(max_iterations, max(96, n + n // 4)))
+    bucket = max(128, 1 << max(0, (b // 16 - 1)).bit_length())
+    budget2 = int(min(max(0, max_iterations - budget), 2 * budget))
+    bucket2 = min(32, bucket)
+    budget3 = int(
+        min(max(0, max_iterations - budget - budget2), 8 * budget)
+    )
+    return budget, bucket, budget2, bucket2, budget3
+
+
 def _fr_continue_bucket(values_t, states: FRState, bucket: int,
                         budget: int, interpret: bool):
     """One on-device straggler continuation stage: reorder undone-first
@@ -628,16 +645,12 @@ def _solve_batch_fr(
         # the stragglers keep running fused rounds instead of a native
         # tail, and the objective rides the packed readback (evaluated
         # on device).
-        budget = int(min(max_iterations, max(96, n + n // 4)))
-        bucket = max(128, 1 << max(0, (b // 16 - 1)).bit_length())
-        budget2 = int(min(max(0, max_iterations - budget), 2 * budget))
         # second-level continuation: the worst observed straggler at
         # 256² needs ~2400 rounds; a deep budget on a tiny bucket costs
         # nearly nothing (done instances exit their grid step), and it
         # empties the serial native tail at B=2048 (VERDICT r2 item 5)
-        bucket2 = min(32, bucket)
-        budget3 = int(
-            min(max(0, max_iterations - budget - budget2), 8 * budget)
+        budget, bucket, budget2, bucket2, budget3 = _fr_fused_schedule(
+            b, n, max_iterations
         )
         states = _fr_solve_fused(
             values_t, states, budget, bucket, budget2, bucket2, budget3
@@ -1173,6 +1186,152 @@ def solve_batch(
         eps=final_eps,
         nits=np.asarray(nits),
     )
+
+
+def solve_batch_stream(
+    device_batches,
+    maximize: bool = False,
+    eps: Optional[float] = None,
+    dtype=np.float32,
+    max_iterations: int = 100_000,
+    integer: Optional[bool] = None,
+    max_cost: Optional[float] = None,
+    window: int = 2,
+    interpret: bool = False,
+):
+    """Pipelined device-resident batched solves — the sustained-
+    throughput mode (north star protocol; the reference's analogue is
+    criterion's sustained-iteration loop, `benchmark.rs:81-157`).
+
+    ``device_batches`` is a sequence of device-resident ``[B, N, N]``
+    cost arrays (all the same shape).  Each batch runs the fused
+    forward-reverse program (:func:`_fr_solve_fused`); up to ``window``
+    batches are in flight at once, so the packed-result readback of
+    batch *i* (~115 ms for 2 MB at B=4096 through this environment's
+    tunnel — pure host-side wait) overlaps the device compute of batch
+    *i+1* via JAX's async dispatch.  Measured decomposition at
+    4096×256² int mode: 0.43 s kernel rounds + 0.07 s grid entry +
+    0.11 s readback — the serial per-call protocol pays the readback,
+    this mode hides it.
+
+    Semantics per batch are identical to
+    ``solve_batch(None, costs_device=batch, solver="fr", ...)``;
+    returns ``list[BatchSolution]`` in input order.  Instances must be
+    square (the forward-reverse engine's requirement); non-fused
+    regimes (odd tile sizes, beyond-VMEM instances, CPU backend
+    without ``interpret``) fall back to sequential ``solve_batch``
+    calls.  ``window`` bounds device memory: at most ``window``
+    staged ``[B, N, N]`` value arrays are live (1 GB each at
+    4096×256² int32).
+    """
+    device_batches = list(device_batches)
+    if not device_batches:
+        return []
+    b, n, m = device_batches[0].shape
+    for d in device_batches[1:]:
+        if d.shape != (b, n, m):
+            raise ValueError("all batches must share one shape")
+    if n != m:
+        raise ValueError("streamed mode requires square instances")
+    np_dtype = np.dtype(dtype)
+    int_scale = _integer_scale(None, eps, n, m, integer, max_cost)
+    fused_ok = (
+        (int_scale is not None or np_dtype == np.float32)
+        and n % 128 == 0
+        and m % 8 == 0
+        and n * m <= 1024 * 1024
+        and (jax.default_backend() not in ("cpu",) or interpret)
+    )
+    if not fused_ok:
+        return [
+            solve_batch(
+                None, maximize=maximize, solver="fr", eps=eps,
+                dtype=dtype, max_iterations=max_iterations,
+                costs_device=d, integer=integer, max_cost=max_cost,
+            )
+            for d in device_batches
+        ]
+
+    if int_scale is not None:
+        eps_val = 1.0
+        tail_eps = 1.0 / int_scale
+        trace_host(
+            "solve_batch_stream: integer-auction mode, scale={}",
+            int_scale,
+        )
+    else:
+        eps_val = float(eps) if eps is not None else 1.0 / n
+        tail_eps = eps_val
+    negate = not maximize
+    sched = _fr_fused_schedule(b, n, max_iterations)
+    base_rounds = sched[0] + sched[2] + sched[4]
+    start_eps = None  # staged once, shared across batches (same shape)
+
+    def dispatch(dev):
+        nonlocal start_eps
+        if int_scale is not None:
+            vt = _stage_values_t_int(
+                jnp.asarray(dev, dtype), negate, int_scale
+            )
+        else:
+            vt = _stage_values_t(jnp.asarray(dev, dtype), negate)
+        if start_eps is None:
+            start_eps = jnp.full((b,), eps_val, vt.dtype)
+        st = _fr_batch_init(vt, start_eps)
+        st = _fr_solve_fused(vt, st, *sched, interpret=interpret)
+        packed = _fr_pack_results_with_objective(st, vt, negate)
+        return vt, st, packed
+
+    def finish(vt, st, packed_dev):
+        rounds = base_rounds
+        half = n // 2
+        while True:
+            packed = np.asarray(packed_dev)  # the ONE blocking readback
+            done_h = packed[:, half + 1] != 0
+            undone = int(b - done_h.sum())
+            trace_host(
+                "fr stream: rounds={} undone={}/{}", rounds, undone, b
+            )
+            if undone == 0 or rounds >= max_iterations:
+                break
+            # rare hard stragglers: keep them on device (same policy as
+            # the device-resident branch of _solve_batch_fr)
+            if undone <= 128:
+                st = _fr_continue_bucket(vt, st, 128, 512, interpret)
+                rounds += 512
+            else:
+                st, _ = fr_chunk_pallas(vt, st, 128, interpret)
+                rounds += 128
+            packed_dev = _fr_pack_results_with_objective(st, vt, negate)
+        p2o = _unpack_p2o_u16(packed[:, :half], n)
+        words = np.ascontiguousarray(
+            packed[:, half + 2:half + 4]
+        ).view(np.float32)
+        objective = words[:, 0].astype(np.float64) + words[:, 1]
+        if int_scale is not None:
+            objective = objective / int_scale
+        return BatchSolution(
+            person_to_object=p2o,
+            object_to_person=o2p_from_p2o(p2o, m),
+            num_unassigned=(p2o == UNASSIGNED).sum(axis=1).astype(
+                np.int32
+            ),
+            objective=objective,
+            eps=np.full(b, tail_eps),
+            nits=packed[:, half].astype(np.int32),
+        )
+
+    from collections import deque
+
+    results = []
+    pending: deque = deque()
+    for dev in device_batches:
+        pending.append(dispatch(dev))
+        while len(pending) > max(1, window):
+            results.append(finish(*pending.popleft()))
+    while pending:
+        results.append(finish(*pending.popleft()))
+    return results
 
 
 class BatchedLAP:

@@ -383,3 +383,74 @@ def test_p2o_u16_pack_roundtrip():
     assert words.shape == (2, 2)
     out = _unpack_p2o_u16(words, 4)
     np.testing.assert_array_equal(out, p2o)
+
+
+def test_solve_batch_stream_pipelined():
+    """solve_batch_stream: the pipelined sustained-throughput mode.
+    Results must equal per-batch device-resident solve_batch exactly
+    (same fused program, interpret mode on CPU), in input order."""
+    import jax.numpy as jnp
+
+    from sparse_linear_assignment_tpu.batch import (
+        solve_batch,
+        solve_batch_stream,
+    )
+
+    rng = np.random.default_rng(55)
+    b, n = 4, 128
+    host = [
+        rng.integers(1, 100, size=(b, n, n)).astype(np.float64)
+        for _ in range(3)
+    ]
+    devs = [jnp.asarray(c.astype(np.float32)) for c in host]
+
+    # float mode, eps strictly inside the integer-exactness bound
+    sols = solve_batch_stream(devs, eps=1.0 / (n + 1), integer=False,
+                              window=2, interpret=True)
+    assert len(sols) == 3
+    for c, sol in zip(host, sols):
+        assert int(sol.num_unassigned.sum()) == 0
+        np.testing.assert_allclose(sol.objective, oracle_batch(c),
+                                   atol=1e-6)
+
+    # integer-auction mode; compare bit-exact with the per-call path
+    sols_i = solve_batch_stream(devs, integer=True, max_cost=100,
+                                window=1, interpret=True)
+    for c, dev, sol in zip(host, devs, sols_i):
+        np.testing.assert_allclose(sol.objective, oracle_batch(c),
+                                   atol=1e-9)
+        np.testing.assert_allclose(sol.eps, 1.0 / (n + 1))
+        for i, j in enumerate(sol.person_to_object[0]):
+            assert sol.object_to_person[0, j] == i
+
+    # maximize through the stream
+    sols_m = solve_batch_stream(devs[:1], maximize=True, integer=True,
+                                max_cost=100, interpret=True)
+    np.testing.assert_allclose(
+        sols_m[0].objective, oracle_batch(host[0], maximize=True),
+        atol=1e-9)
+
+
+def test_solve_batch_stream_validation_and_fallback():
+    import jax.numpy as jnp
+
+    from sparse_linear_assignment_tpu.batch import solve_batch_stream
+
+    assert solve_batch_stream([]) == []
+    with pytest.raises(ValueError, match="square"):
+        solve_batch_stream([jnp.zeros((2, 8, 16), np.float32)])
+    with pytest.raises(ValueError, match="share one shape"):
+        solve_batch_stream([
+            jnp.zeros((2, 128, 128), np.float32),
+            jnp.zeros((3, 128, 128), np.float32),
+        ])
+
+    # non-fused regime (n % 128 != 0) falls back to sequential
+    # device-resident solve_batch calls
+    rng = np.random.default_rng(56)
+    c = rng.integers(1, 50, size=(2, 24, 24)).astype(np.float64)
+    dev = jnp.asarray(c.astype(np.float32))
+    sols = solve_batch_stream([dev], eps=1.0 / 25)
+    assert len(sols) == 1
+    np.testing.assert_allclose(sols[0].objective, oracle_batch(c),
+                               atol=1e-6)
