@@ -43,7 +43,7 @@ from ..ops.auction import top2_profits_arrays
 from ..ops.fr_dense import STALL_K0 as _STALL_K0
 from ..solution import INDEX_DTYPE, UNASSIGNED, o2p_from_p2o
 from ..solver import AuctionSolver
-from ..utils.trace import trace_round
+from ..utils.trace import trace_host, trace_round
 
 _INT_MAX = jnp.int32(UNASSIGNED)
 
@@ -890,21 +890,30 @@ def solve_fr_dense_sharded(
 # Sharded batched solve (data parallelism over independent instances)
 # ----------------------------------------------------------------------
 def _fr_batch_chunk_local(values_t, states, target_eps, max_iterations,
-                          chunk: int, use_kernel: bool):
+                          chunk: int, use_kernel: bool,
+                          sched: tuple | None = None):
     """Per-device chunk of forward-reverse rounds over the local batch
     slice (instances are independent — the only collective is the
     replicated all-done flag).  ``use_kernel`` runs the fused VMEM-
     resident multi-round kernel (ops/pallas_fr.py) on each device's
     slice — the same per-chip program as the single-chip fast path, so
     an 8-chip mesh scales its inst/s ~linearly; the XLA rounds remain
-    for CPU meshes and unsupported shapes."""
+    for CPU meshes and unsupported shapes.  ``sched`` (budget, bucket,
+    budget2, bucket2, budget3) runs the full fused schedule with
+    two-level undone-first continuation per device — the single-chip
+    one-dispatch protocol applied to each local slice."""
     if use_kernel:
         from ..ops.pallas_fr import fr_chunk_pallas
 
         # the single-chip fused multi-round kernel on the local slice;
         # finished instances leave their grid step early, so the large
         # budget costs only the stragglers' rounds
-        states, _ = fr_chunk_pallas(values_t, states, chunk)
+        if sched is not None:
+            from ..batch import _fr_solve_fused
+
+            states = _fr_solve_fused(values_t, states, *sched)
+        else:
+            states, _ = fr_chunk_pallas(values_t, states, chunk)
     else:
         from ..ops.fr_dense import fr_round
 
@@ -930,7 +939,8 @@ def _fr_batch_chunk_local(values_t, states, target_eps, max_iterations,
 
 @functools.lru_cache(maxsize=8)
 def sharded_fr_batch_core(mesh: Mesh, chunk: int = 64,
-                          use_kernel: bool = False):
+                          use_kernel: bool = False,
+                          sched: tuple | None = None):
     """Jitted multi-device batched forward-reverse chunk program: the
     batch dimension is sharded across the mesh, everything else is
     local.  This is the scaling dimension for batched throughput — an
@@ -941,7 +951,8 @@ def sharded_fr_batch_core(mesh: Mesh, chunk: int = 64,
 
     fn = jax.shard_map(
         functools.partial(
-            _fr_batch_chunk_local, chunk=chunk, use_kernel=use_kernel
+            _fr_batch_chunk_local, chunk=chunk, use_kernel=use_kernel,
+            sched=sched,
         ),
         mesh=mesh,
         # a single spec acts as a pytree prefix for the FRState arg
@@ -1077,19 +1088,29 @@ def solve_batch_sharded(
         and n * m <= 1024 * 1024
         and jax.default_backend() not in ("cpu",)
     )
+    sched = None
     if use_kernel:
-        # one-dispatch protocol (batch._solve_batch_fr fast path): a
-        # large fused budget + on-device continuation per device, then
-        # rare extra dispatches for stragglers
-        chunk = int(min(max_iterations, max(96, n + n // 4)))
+        # one-dispatch protocol (batch._solve_batch_fr fast path): the
+        # full fused schedule — main budget + two-level undone-first
+        # continuation — runs per device slice in ONE dispatch, then
+        # rare extra chunk dispatches mop up any survivors
+        from ..batch import _fr_fused_schedule
+
+        sched = _fr_fused_schedule(b_pad // d, n, max_iterations)
+        chunk = 128
     core = sharded_fr_batch_core(mesh, chunk, use_kernel)
     maxit = jnp.asarray(np.int32(max_iterations))
     rounds = 0
-    while True:
+    if sched is not None:
+        fused_core = sharded_fr_batch_core(mesh, chunk, True, sched)
+        states, undone = fused_core(values_t, states, target_eps, maxit)
+        rounds += sched[0] + sched[2] + sched[4]
+    else:
         states, undone = core(values_t, states, target_eps, maxit)
         rounds += chunk
-        if int(undone) == 0 or rounds >= max_iterations:
-            break
+    while int(undone) != 0 and rounds < max_iterations:
+        states, undone = core(values_t, states, target_eps, maxit)
+        rounds += chunk
 
     # ONE packed readback (u16-packed p2o | nits | done) — per-array
     # readbacks each pay the tunnel's ~240 ms latency
@@ -1121,3 +1142,146 @@ def solve_batch_sharded(
         ),
         nits=nits,
     )
+
+
+def solve_batch_sharded_stream(
+    device_batches,
+    mesh: Mesh,
+    maximize: bool = False,
+    eps: float | None = None,
+    dtype=np.float32,
+    max_iterations: int = 100_000,
+    integer: bool | None = None,
+    max_cost: float | None = None,
+    window: int = 2,
+):
+    """Pipelined device-resident batched solves over a device mesh —
+    the multi-chip sustained-throughput mode (``batch.
+    solve_batch_stream`` with the batch dimension sharded across
+    ``mesh``; the projected path past the 10k inst/s north star, which
+    the measured single-chip round floor of ~0.66 µs/instance-round
+    puts out of single-chip reach).
+
+    Each batch runs the per-device fused schedule (main budget +
+    two-level undone-first continuation) in ONE sharded dispatch with
+    zero cross-chip traffic beyond the done-count psum; up to
+    ``window`` batches are in flight so the gathered packed-result
+    readback of batch *i* overlaps the mesh's compute of batch *i+1*.
+    The objective is evaluated on device (original units); results
+    return in input order as ``list[BatchSolution]``.
+
+    On meshes without the fused kernel (CPU backend, non-tile shapes)
+    each batch falls back to the lockstep XLA rounds with per-chunk
+    done checks — correct, but the pipelining degrades (the done
+    checks are blocking syncs).
+    """
+    from ..batch import (
+        BatchSolution,
+        _fr_batch_init,
+        _fr_fused_schedule,
+        _fr_pack_results_with_objective,
+        _integer_scale,
+        _unpack_p2o_u16,
+    )
+
+    device_batches = list(device_batches)
+    if not device_batches:
+        return []
+    b, n, m = device_batches[0].shape
+    for x in device_batches[1:]:
+        if x.shape != (b, n, m):
+            raise ValueError("all batches must share one shape")
+    if n != m:
+        raise ValueError(
+            "solve_batch_sharded_stream requires square instances"
+        )
+    d = int(np.prod(mesh.devices.shape))
+    b_pad = ((b + d - 1) // d) * d
+
+    int_scale = _integer_scale(None, eps, n, m, integer, max_cost)
+    if int_scale is not None:
+        dtype = np.int32
+        target_eps = np.int32(1)
+        out_eps = 1.0 / int_scale
+    else:
+        target_eps = np.dtype(dtype).type(
+            float(eps) if eps is not None else 1.0 / n
+        )
+        out_eps = float(target_eps)
+    axis = mesh.axis_names[0]
+    bsh = NamedSharding(mesh, P(axis))
+    negate = not maximize
+    use_kernel = bool(
+        np.dtype(dtype) in (np.float32, np.int32)
+        and n % 128 == 0
+        and m % 8 == 0
+        and n * m <= 1024 * 1024
+        and jax.default_backend() not in ("cpu",)
+    )
+    chunk = 128
+    core = sharded_fr_batch_core(mesh, chunk, use_kernel)
+    if use_kernel:
+        sched = _fr_fused_schedule(b_pad // d, n, max_iterations)
+        fused_core = sharded_fr_batch_core(mesh, chunk, True, sched)
+    maxit = jnp.asarray(np.int32(max_iterations))
+    stage = _staging_core(bsh, negate, b_pad, int_scale or 0)
+
+    def dispatch(dev):
+        dev = jnp.asarray(dev)
+        vt = stage(dev if int_scale is not None else dev.astype(dtype))
+        st = _fr_batch_init(vt, jnp.full(b_pad, target_eps, dtype))
+        if use_kernel:
+            st, _ = fused_core(vt, st, target_eps, maxit)
+            rounds = sched[0] + sched[2] + sched[4]
+        else:
+            st, undone = core(vt, st, target_eps, maxit)
+            rounds = chunk
+            while int(undone) != 0 and rounds < max_iterations:
+                st, undone = core(vt, st, target_eps, maxit)
+                rounds += chunk
+        packed_dev = _fr_pack_results_with_objective(st, vt, negate)
+        return vt, st, packed_dev, rounds
+
+    def finish(vt, st, packed_dev, rounds):
+        half = n // 2
+        while True:
+            packed = np.asarray(packed_dev)  # gathers from all devices
+            undone = int(b_pad - (packed[:, half + 1] != 0).sum())
+            trace_host(
+                "fr sharded stream: rounds={} undone={}/{}",
+                rounds, undone, b_pad,
+            )
+            if undone == 0 or rounds >= max_iterations:
+                break
+            st, _ = core(vt, st, target_eps, maxit)
+            rounds += chunk
+            packed_dev = _fr_pack_results_with_objective(st, vt, negate)
+        p2o = _unpack_p2o_u16(packed[:b, :half], n)
+        words = np.ascontiguousarray(
+            packed[:b, half + 2:half + 4]
+        ).view(np.float32)
+        objective = words[:, 0].astype(np.float64) + words[:, 1]
+        if int_scale is not None:
+            objective = objective / int_scale
+        return BatchSolution(
+            person_to_object=p2o,
+            object_to_person=o2p_from_p2o(p2o, m),
+            num_unassigned=(p2o == UNASSIGNED).sum(axis=1).astype(
+                np.int32
+            ),
+            objective=objective,
+            eps=np.full(b, out_eps),
+            nits=packed[:b, half].astype(np.int32),
+        )
+
+    from collections import deque
+
+    results: list = []
+    pending: deque = deque()
+    for dev in device_batches:
+        pending.append(dispatch(dev))
+        while len(pending) > max(1, window):
+            results.append(finish(*pending.popleft()))
+    while pending:
+        results.append(finish(*pending.popleft()))
+    return results

@@ -276,3 +276,68 @@ def test_sharded_batched_fr_device_staged():
         sol.person_to_object, ref.person_to_object
     )
     np.testing.assert_array_equal(sol.objective, ref.objective)
+
+
+def test_sharded_batched_stream():
+    """solve_batch_sharded_stream: pipelined multi-batch sharded mode —
+    oracle-exact per batch, results in input order (CPU mesh runs the
+    lockstep-XLA fallback path; the fused-kernel path shares all code
+    but the per-device chunk program)."""
+    import jax.numpy as jnp
+
+    from sparse_linear_assignment_tpu.parallel import (
+        solve_batch_sharded_stream,
+    )
+
+    rng = np.random.default_rng(61)
+    b, n = 8, 32
+    host = [
+        rng.integers(1, 200, size=(b, n, n)).astype(np.float64)
+        for _ in range(2)
+    ]
+    devs = [jnp.asarray(c.astype(np.float32)) for c in host]
+    mesh = make_mesh(4)
+    sols = solve_batch_sharded_stream(
+        devs, mesh, eps=1.0 / (n + 1), window=2
+    )
+    assert len(sols) == 2
+    for c, sol in zip(host, sols):
+        assert int(sol.num_unassigned.sum()) == 0
+        for bi in range(b):
+            r, cc = linear_sum_assignment(c[bi])
+            want = float(c[bi][r, cc].sum())
+            assert abs(sol.objective[bi] - want) < 1e-6, (bi,)
+        for bi in range(b):
+            for i, j in enumerate(sol.person_to_object[bi]):
+                assert sol.object_to_person[bi, j] == i
+
+    # maximize + batch not a multiple of the mesh size
+    host_m = rng.integers(1, 200, size=(6, n, n)).astype(np.float64)
+    sols_m = solve_batch_sharded_stream(
+        [jnp.asarray(host_m.astype(np.float32))], mesh,
+        maximize=True, eps=1.0 / (n + 1),
+    )
+    for bi in range(6):
+        r, cc = linear_sum_assignment(host_m[bi], maximize=True)
+        want = float(host_m[bi][r, cc].sum())
+        assert abs(sols_m[0].objective[bi] - want) < 1e-6
+
+
+def test_sharded_batched_stream_validation():
+    import jax.numpy as jnp
+
+    from sparse_linear_assignment_tpu.parallel import (
+        solve_batch_sharded_stream,
+    )
+
+    mesh = make_mesh(2)
+    assert solve_batch_sharded_stream([], mesh) == []
+    with pytest.raises(ValueError, match="square"):
+        solve_batch_sharded_stream(
+            [jnp.zeros((2, 8, 16), np.float32)], mesh
+        )
+    with pytest.raises(ValueError, match="share one shape"):
+        solve_batch_sharded_stream(
+            [jnp.zeros((2, 16, 16), np.float32),
+             jnp.zeros((4, 16, 16), np.float32)], mesh
+        )
