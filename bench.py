@@ -173,6 +173,9 @@ def bench_batched(batch=4096, repeats=5, staged_copies=3):
     # iteration loop, benchmark.rs:81-157, is the same protocol)
     from sparse_linear_assignment_tpu.batch import solve_batch_stream
 
+    # one untimed pass: first-stream overheads (allocator growth for
+    # the window's in-flight staged buffers) otherwise depress repeat 1
+    solve_batch_stream(staged[:2], integer=True, max_cost=1000, window=2)
     sustained = []
     for _ in range(3):
         t0 = time.perf_counter()
