@@ -34,8 +34,8 @@ def _src_hash() -> str:
 
 def _build(src_hash: str) -> None:
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        str(_SRC), "-o", str(_SO),
+        "g++", "-O3", "-march=native", "-fopenmp-simd", "-shared",
+        "-fPIC", "-std=c++17", str(_SRC), "-o", str(_SO),
     ]
     subprocess.run(cmd, check=True, capture_output=True)
     _STAMP.write_text(src_hash)
@@ -77,6 +77,16 @@ def get_lib() -> ctypes.CDLL:
     lib.slap_khosla_finish.argtypes = [
         i64, i64, p_i64, p_i32, p_f64, ctypes.c_double, ctypes.c_double,
         p_i32, p_i32, p_f64, p_u8, ctypes.POINTER(i64),
+    ]
+    p_f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.slap_fr_dense_finish.restype = ctypes.c_int
+    lib.slap_fr_dense_finish.argtypes = [
+        i64, i64, p_f64, ctypes.c_double, p_f32, ctypes.c_double,
+        p_f64, p_f64, p_i32, p_i32, i64, ctypes.POINTER(i64),
+    ]
+    lib.slap_negate_transpose_f32.restype = None
+    lib.slap_negate_transpose_f32.argtypes = [
+        p_f64, i64, i64, ctypes.c_double, p_f32,
     ]
     lib.slap_forward_solve.restype = ctypes.c_int
     lib.slap_forward_solve.argtypes = [
@@ -168,6 +178,51 @@ def khosla_finish_cpu(
     )
     assert rc == 0
     return int(nits.value)
+
+
+def fr_dense_finish_cpu(
+    a: np.ndarray,
+    at: Optional[np.ndarray],
+    eps: float,
+    prices: np.ndarray,
+    profits: np.ndarray,
+    p2o: np.ndarray,
+    o2p: np.ndarray,
+    max_pops: int = 200_000_000,
+    sign: float = 1.0,
+) -> tuple[int, int]:
+    """Finish one dense instance's forward-reverse auction sequentially
+    from a warm state (in place) — the chain-tail engine of the
+    streaming-kernel big singles (``batch.solve_batch`` ``use_big``
+    path).  Same rules as the device engine (``ops/fr_dense.py``); see
+    ``native/engine.cpp:slap_fr_dense_finish``.
+
+    ``a [N, M]`` f64 raw values with ``sign`` (±1) applied inside the
+    scans (max-profit convention; sign=-1 for minimize — avoids
+    materializing a negated copy of a multi-hundred-MB matrix), ``at
+    [M, N]`` the already-sign-applied f32 transpose for column scans
+    (pass None to have it built by the native blocked transpose),
+    ``prices``/``profits`` f64 and ``p2o``/``o2p`` int32 (-1 =
+    unassigned) modified in place.  Returns ``(rc, pops)``: rc 0 =
+    complete matching, 1 = ``max_pops`` hit (caller falls back to a
+    from-scratch solve).
+    """
+    lib = get_lib()
+    n, m = a.shape
+    a = np.ascontiguousarray(a, dtype=np.float64)
+    if at is None:
+        at = np.empty((m, n), np.float32)
+        lib.slap_negate_transpose_f32(a, n, m, float(sign), at)
+    else:
+        at = np.ascontiguousarray(at, dtype=np.float32)
+    assert at.shape == (m, n)
+    pops = ctypes.c_int64(0)
+    rc = lib.slap_fr_dense_finish(
+        n, m, a, float(sign), at,
+        float(eps), prices, profits, p2o, o2p,
+        int(max_pops), ctypes.byref(pops),
+    )
+    return int(rc), int(pops.value)
 
 
 def forward_solve_cpu(

@@ -70,6 +70,49 @@ bool ecs_holds(int64_t n_rows, const int64_t* starts, const int32_t* cols,
   return true;
 }
 
+// First-argmax top-2 of profit[j] = v[j] − p[j] over a dense row, in
+// three vectorizable passes — the branchy single-pass top-2 defeats
+// SIMD and the dense chain tail is scan-bound, so pop cost is pass
+// count × bandwidth.  Semantics match the scalar loop exactly: best
+// index = FIRST argmax, second = max over the remaining lanes (so a
+// duplicated max yields second == best).
+struct DenseTop2 {
+  double best;
+  double second;
+  int64_t arg;
+};
+
+template <typename V>
+inline DenseTop2 dense_top2(const V* __restrict v,
+                            const double* __restrict p, int64_t len,
+                            double sign) {
+  double m1 = kNegInf;
+#pragma omp simd reduction(max : m1)
+  for (int64_t j = 0; j < len; ++j) {
+    const double t = sign * static_cast<double>(v[j]) - p[j];
+    m1 = t > m1 ? t : m1;
+  }
+  int64_t arg = 0;
+  for (int64_t j = 0; j < len; ++j) {
+    if (sign * static_cast<double>(v[j]) - p[j] == m1) {
+      arg = j;
+      break;
+    }
+  }
+  double m2 = kNegInf;
+#pragma omp simd reduction(max : m2)
+  for (int64_t j = 0; j < arg; ++j) {
+    const double t = sign * static_cast<double>(v[j]) - p[j];
+    m2 = t > m2 ? t : m2;
+  }
+#pragma omp simd reduction(max : m2)
+  for (int64_t j = arg + 1; j < len; ++j) {
+    const double t = sign * static_cast<double>(v[j]) - p[j];
+    m2 = t > m2 ? t : m2;
+  }
+  return {m1, m2, arg};
+}
+
 }  // namespace
 
 extern "C" {
@@ -169,6 +212,147 @@ int slap_khosla_solve(int64_t n_rows, int64_t n_cols, const int64_t* starts,
     o2p[v] = u;
   }
   *nits_out = nits;
+  return 0;
+}
+
+// Blocked sign-applying f64→f32 transpose: dst[j*n + i] = sign *
+// src[i*m + j].  The chain tail's reverse scans need object-major
+// access; a numpy `(-a).T.astype(f32)` pays a full f64 negation copy
+// plus a strided transpose (~1-2 s at 8192²) — this fuses both at
+// streaming speed.
+void slap_negate_transpose_f32(const double* src, int64_t n, int64_t m,
+                               double sign, float* dst) {
+  constexpr int64_t B = 64;
+  for (int64_t ib = 0; ib < n; ib += B) {
+    const int64_t ie = ib + B < n ? ib + B : n;
+    for (int64_t jb = 0; jb < m; jb += B) {
+      const int64_t je = jb + B < m ? jb + B : m;
+      for (int64_t i = ib; i < ie; ++i) {
+        const double* __restrict s = src + i * m;
+        for (int64_t j = jb; j < je; ++j) {
+          dst[j * n + i] = static_cast<float>(sign * s[j]);
+        }
+      }
+    }
+  }
+}
+
+// Sequential combined forward-reverse auction on one dense instance,
+// continued from a warm state — the chain-tail engine for the
+// streaming-kernel big singles (batch.py `use_big`).  The device runs
+// the massively parallel bulk rounds; the endgame is displacement
+// chains that a lockstep device round walks one link per ~0.1 ms
+// round, while this walks a link in one O(n) scan (~n ns).  The rules
+// mirror the device engine's (ops/fr_dense.py _forward_sub /
+// _reverse_sub with a single bidder, after Bertsekas & Castanon's
+// combined algorithm), including the stalled-phase preemption with
+// doubling horizon, so the handoff preserves the same eps-CS
+// certificate: assigned pairs keep pi_i + p_j = a_ij and reverse
+// price cuts stop at the second-best reverse profit, which bounds any
+// other person's profit gain by pi_i + eps.
+//
+// a:  [n*m] row-major f64 person-row profit values (sign-adjusted for
+//     maximization, like every engine here).
+// at: [m*n] row-major f32 object-row values (the transpose — column
+//     scans on `a` would stride the cache; f32 is exact for
+//     integer-valued costs and within value rounding otherwise).
+// prices[m] / profits[n] f64 and p2o[n] / o2p[m] int32 (-1 sentinel)
+// are the warm state, updated in place.  Returns 0 on a complete
+// matching, 1 if max_pops was hit first.
+int slap_fr_dense_finish(int64_t n, int64_t m, const double* a,
+                         double sign, const float* at, double eps,
+                         double* prices, double* profits, int32_t* p2o,
+                         int32_t* o2p, int64_t max_pops,
+                         int64_t* pops_out) {
+  std::vector<int32_t> free_p, free_o;
+  int64_t cardinality = 0;
+  for (int64_t i = n - 1; i >= 0; --i) {
+    if (p2o[i] < 0) free_p.push_back(static_cast<int32_t>(i));
+    else ++cardinality;
+  }
+  for (int64_t j = m - 1; j >= 0; --j) {
+    if (o2p[j] < 0) free_o.push_back(static_cast<int32_t>(j));
+  }
+
+  bool forward = true;
+  int64_t since_inc = 0, stall_k = 8, pops = 0;
+  while (cardinality < n) {
+    if (pops >= max_pops) {
+      *pops_out = pops;
+      return 1;
+    }
+    bool increased = false;
+    if (forward) {
+      // pop a live free person (stack entries go stale when a reverse
+      // bid assigns the person first)
+      int32_t u = -1;
+      while (!free_p.empty()) {
+        const int32_t c = free_p.back();
+        free_p.pop_back();
+        if (p2o[c] < 0) { u = c; break; }
+      }
+      if (u < 0) { forward = false; continue; }  // all chains on the object side
+      const double* row = a + static_cast<int64_t>(u) * m;
+      const DenseTop2 t2 = dense_top2(row, prices, m, sign);
+      const double w1 = t2.best, w2 = t2.second;
+      const int32_t jbest = static_cast<int32_t>(t2.arg);
+      const double floor = std::isfinite(w2) ? w2 : w1;
+      const int32_t prev = o2p[jbest];
+      prices[jbest] = sign * row[jbest] - floor + eps;  // pi + p = a exactly
+      profits[u] = floor - eps;
+      p2o[u] = jbest;
+      o2p[jbest] = u;
+      if (prev >= 0) {
+        p2o[prev] = -1;
+        free_p.push_back(prev);
+      } else {
+        ++cardinality;
+        increased = true;
+      }
+      ++pops;
+    } else {
+      int32_t j = -1;
+      while (!free_o.empty()) {
+        const int32_t c = free_o.back();
+        free_o.pop_back();
+        if (o2p[c] < 0) { j = c; break; }
+      }
+      if (j < 0) { forward = true; continue; }
+      const float* col = at + static_cast<int64_t>(j) * n;
+      const DenseTop2 t2 = dense_top2(col, profits, n, 1.0);
+      const double b1 = t2.best, b2 = t2.second;
+      const int32_t ibest = static_cast<int32_t>(t2.arg);
+      const double rfloor = std::isfinite(b2) ? b2 : b1;
+      const int32_t prevj = p2o[ibest];
+      prices[j] = rfloor - eps;
+      // the new pair's dual from the f64 row values so pi + p = a
+      profits[ibest] =
+          sign * a[static_cast<int64_t>(ibest) * m + j] - rfloor + eps;
+      p2o[ibest] = j;
+      o2p[j] = ibest;
+      if (prevj >= 0) {
+        o2p[prevj] = -1;
+        free_o.push_back(prevj);
+      } else {
+        ++cardinality;
+        increased = true;
+      }
+      ++pops;
+    }
+    // mode switching: flip on a cardinality increase (fresh horizon) or
+    // after stall_k no-progress pops (horizon doubles — the device
+    // engine's exponential-backoff preemption, fr_dense.py)
+    if (increased) {
+      forward = !forward;
+      since_inc = 0;
+      stall_k = 8;
+    } else if (++since_inc >= stall_k) {
+      forward = !forward;
+      since_inc = 0;
+      stall_k *= 2;
+    }
+  }
+  *pops_out = pops;
   return 0;
 }
 

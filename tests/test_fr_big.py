@@ -93,6 +93,166 @@ def test_big_single_routing(monkeypatch):
         assert float(sol.objective[bi]) == costs[bi][r, c].sum()
 
 
+@pytest.mark.parametrize("seed", [0, 3])
+def test_fr_finish_native_scratch(seed):
+    """The sequential forward-reverse engine (the big-single chain
+    tail, engine.cpp:slap_fr_dense_finish) solves from an empty warm
+    state — scipy-exact on integer costs with eps < 1/n."""
+    from scipy.optimize import linear_sum_assignment
+
+    from sparse_linear_assignment_tpu.cpu_reference import (
+        fr_dense_finish_cpu,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 160
+    costs = rng.integers(1, 1000, size=(n, n)).astype(np.float64)
+    a = -costs  # minimize -> max profit
+    eps = 1.0 / (n + 1)
+    prices = np.zeros(n)
+    profits = a.max(axis=1) - eps
+    p2o = np.full(n, -1, np.int32)
+    o2p = np.full(n, -1, np.int32)
+    # sign=-1 + at=None: the native engine applies the sign in its
+    # scans and builds the f32 transpose itself (the driver's form)
+    rc, pops = fr_dense_finish_cpu(
+        costs, None, eps, prices, profits, p2o, o2p, sign=-1.0
+    )
+    assert rc == 0 and pops > 0
+    r, c = linear_sum_assignment(costs)
+    assert costs[np.arange(n), p2o].sum() == costs[r, c].sum()
+    # price-only eps-CS certificate at the target eps (exact f64 run)
+    prof = a - prices[None, :]
+    chosen = prof[np.arange(n), p2o]
+    assert (chosen + 1e-9 >= prof.max(axis=1) - eps).all()
+
+
+def test_fr_finish_native_warm_handoff():
+    """Mid-solve handoff: run device FR rounds, convert the f32 state
+    to the native engine's f64 warm form exactly as the driver does
+    (assigned duals recomputed so pi + p = a), finish natively —
+    scipy-exact, certificate within f32 eps rounding."""
+    import jax
+
+    from scipy.optimize import linear_sum_assignment
+
+    from sparse_linear_assignment_tpu.cpu_reference import (
+        fr_dense_finish_cpu,
+    )
+
+    n = 128
+    rng = np.random.default_rng(7)
+    costs = rng.integers(1, 1000, size=(n, n)).astype(np.float64)
+    a = -costs
+    vals_t = jnp.asarray(a.T.astype(np.float32))
+    eps32 = np.float32(1.0 / (n + 1))
+    round1 = jax.jit(
+        lambda s: fr_round(
+            vals_t, s, eps32, jnp.float32(0.0), jnp.int32(10**9),
+            skip_certificate=True,
+        )
+    )
+    st = fr_init(vals_t, eps32)
+    for _ in range(12):
+        st = round1(st)
+    p2o_dev = np.asarray(st.p2o)
+    free = int((p2o_dev == UNASSIGNED).sum())
+    assert 0 < free < n  # genuinely mid-solve
+
+    eps = float(eps32)
+    prices = np.asarray(st.prices).astype(np.float64)
+    p2o = np.where(p2o_dev == UNASSIGNED, -1, p2o_dev).astype(np.int32)
+    o2p = np.full(n, -1, np.int32)
+    idx = np.arange(n, dtype=np.int32)
+    assigned = p2o >= 0
+    o2p[p2o[assigned]] = idx[assigned]
+    profits = np.empty(n)
+    profits[assigned] = a[idx[assigned], p2o[assigned]] - prices[p2o[assigned]]
+    for i in idx[~assigned]:
+        profits[i] = (a[i] - prices).max() - eps
+    at = np.ascontiguousarray(a.T, dtype=np.float32)
+    rc, pops = fr_dense_finish_cpu(a, at, eps, prices, profits, p2o, o2p)
+    assert rc == 0
+    r, c = linear_sum_assignment(costs)
+    assert costs[np.arange(n), p2o].sum() == costs[r, c].sum()
+    prof = a - prices[None, :]
+    chosen = prof[np.arange(n), p2o]
+    # entry state carries the device's f32 eps/price rounding (the f32
+    # path's documented certificate) — the tail must not worsen it
+    assert (chosen + 1e-3 >= prof.max(axis=1) - eps).all()
+
+
+def test_big_single_native_tail_routing(monkeypatch):
+    """End-to-end use_big route with the native chain tail engaged:
+    shrunk thresholds force the tail at a test size; the result must be
+    scipy-exact and the tail must actually have run."""
+    from scipy.optimize import linear_sum_assignment
+
+    from sparse_linear_assignment_tpu import batch as batch_mod
+
+    monkeypatch.setattr(batch_mod, "_BIG_INTERPRET_ON_CPU", True)
+    monkeypatch.setattr(batch_mod, "_BIG_MIN_ELEMS", 0)
+    monkeypatch.setattr(batch_mod, "_BIG_TAIL_MIN_N", 0)
+    monkeypatch.setattr(batch_mod, "_BIG_TAIL_PROBE0", 8)
+    calls = []
+    real_tail = batch_mod._fr_big_native_tail
+
+    def spy(*args, **kw):
+        out = real_tail(*args, **kw)
+        calls.append(out[0])  # rc
+        return out
+
+    monkeypatch.setattr(batch_mod, "_fr_big_native_tail", spy)
+    n = 256
+    rng = np.random.default_rng(5)
+    costs = rng.integers(1, 1000, size=(1, n, n)).astype(np.float64)
+    # integer=False: the integer-auction autodetect would route this to
+    # the fused-kernel path instead of the streaming big-single path
+    sol = batch_mod.solve_batch(
+        costs, solver="fr", dtype=np.float32, integer=False
+    )
+    assert calls and calls[-1] == 0, "native tail should run and complete"
+    assert int(sol.num_unassigned.sum()) == 0
+    r, c = linear_sum_assignment(costs[0])
+    assert float(sol.objective[0]) == costs[0][r, c].sum()
+
+
+def test_big_single_tail_miss_resumes_device(monkeypatch):
+    """A bounded tail attempt that runs out of its pop budget must
+    re-enter the device loop from the native partial state
+    (_fr_state_from_host) and still reach the exact optimum."""
+    from scipy.optimize import linear_sum_assignment
+
+    from sparse_linear_assignment_tpu import batch as batch_mod
+
+    monkeypatch.setattr(batch_mod, "_BIG_INTERPRET_ON_CPU", True)
+    monkeypatch.setattr(batch_mod, "_BIG_MIN_ELEMS", 0)
+    monkeypatch.setattr(batch_mod, "_BIG_TAIL_MIN_N", 0)
+    monkeypatch.setattr(batch_mod, "_BIG_TAIL_PROBE0", 8)
+    # 4-pop calibration chunk + zero remaining budget → guaranteed miss
+    monkeypatch.setattr(batch_mod, "_BIG_TAIL_CALIB_POPS", 4)
+    rcs = []
+    real_tail = batch_mod._fr_big_native_tail
+
+    def clamped(work_host, bi, n_, m_, packed, eps, budget_sec, at=None):
+        sec = 0.0 if not rcs else budget_sec
+        out = real_tail(work_host, bi, n_, m_, packed, eps, sec, at=at)
+        rcs.append(out[0])
+        return out
+
+    monkeypatch.setattr(batch_mod, "_fr_big_native_tail", clamped)
+    n = 256
+    rng = np.random.default_rng(9)
+    costs = rng.integers(1, 1000, size=(1, n, n)).astype(np.float64)
+    sol = batch_mod.solve_batch(
+        costs, solver="fr", dtype=np.float32, integer=False
+    )
+    assert rcs and rcs[0] == 1, "first attempt must miss"
+    assert int(sol.num_unassigned.sum()) == 0
+    r, c = linear_sum_assignment(costs[0])
+    assert float(sol.objective[0]) == costs[0][r, c].sum()
+
+
 def test_fr_big_optimal_vs_scipy():
     from scipy.optimize import linear_sum_assignment
 
