@@ -1135,10 +1135,15 @@ def _batch_chunk_pallas(
 
 
 def _pallas_usable(solver: str, n: int, m: int, dtype) -> bool:
+    # n*m cap: the grid-over-batch round kernel keeps one whole [M, N]
+    # instance plus temporaries in scoped VMEM (~28 MB at 1536² vs the
+    # 16 MB compiler default) — beyond 1024² fall back to XLA rounds
+    # instead of failing compilation.
     return (
         solver == "forward"
         and n % 128 == 0
         and m % 8 == 0
+        and n * m <= 1024 * 1024
         and np.dtype(dtype) == np.float32
     )
 
@@ -1217,7 +1222,7 @@ def _solve_batch_dense(
 def solve_batch(
     costs,
     maximize: bool = False,
-    solver: str = "forward",
+    solver: str = "auto",
     eps: Optional[float] = None,
     dtype=np.float32,
     max_iterations: int = 100_000,
@@ -1232,11 +1237,13 @@ def solve_batch(
     ``eps`` defaults to ``1/M`` for the Khosla engine (`ksparse.rs:164-168`)
     and ``1/N`` target for the forward and fr engines
     (`symmetric.rs:231-235`).
-    ``solver``: ``"forward"`` (Jacobi forward auction with ε-scaling,
-    reference semantics), ``"fr"`` (combined forward-reverse auction,
-    ``ops/fr_dense.py`` — same ε-CS certificate, far fewer rounds on
-    symmetric instances; falls back to forward when N != M), or
-    ``"khosla"``.
+    ``solver``: ``"auto"`` (default — the measured-fastest correct
+    engine: ``"fr"`` on square instances, ``"forward"`` otherwise, the
+    batch analogue of ``solve(engine="auto")``), ``"forward"`` (Jacobi
+    forward auction with ε-scaling, reference semantics), ``"fr"``
+    (combined forward-reverse auction, ``ops/fr_dense.py`` — same ε-CS
+    certificate, far fewer rounds on symmetric instances; falls back to
+    forward when N != M), or ``"khosla"``.
     ``dtype`` defaults to float32 — the TPU fast path; use float64 when the
     cost range demands it (eps below ~1 ulp of the largest cost stalls in
     float32).
@@ -1268,6 +1275,13 @@ def solve_batch(
     not a unit fraction the lattice uses the next finer one
     (``D = ceil(1/eps)``, reported in ``BatchSolution.eps``).
     """
+    if solver == "auto":
+        # square → the combined forward-reverse engine (measured faster
+        # at every size, incl. the streaming big-single path beyond the
+        # VMEM-kernel regime); asymmetric → forward (reverse bidding
+        # needs every object matchable).  fr itself falls back to
+        # forward on N != M below, so "auto" simply resolves to "fr".
+        solver = "fr"
     if costs is None:
         if costs_device is None:
             raise ValueError("pass costs, costs_device, or both")

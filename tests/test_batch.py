@@ -454,3 +454,43 @@ def test_solve_batch_stream_validation_and_fallback():
     assert len(sols) == 1
     np.testing.assert_allclose(sols[0].objective, oracle_batch(c),
                                atol=1e-6)
+
+
+def test_forward_pallas_vmem_cap():
+    """The grid-over-batch forward round kernel holds a whole [M, N]
+    instance in scoped VMEM; beyond 1024*1024 elements it exceeds the
+    16 MB compiler default (measured OOM at 1536² on v5e) and the
+    driver must fall back to XLA rounds instead of failing compile."""
+    from sparse_linear_assignment_tpu.batch import _pallas_usable
+
+    assert _pallas_usable("forward", 1024, 1024, np.float32)
+    assert not _pallas_usable("forward", 1536, 1536, np.float32)
+    assert not _pallas_usable("forward", 2048, 2048, np.float32)
+
+
+def test_solve_batch_auto_routes_to_fr(monkeypatch):
+    """The default solver='auto' must pick the fr engine on square
+    instances (the measured-fastest correct engine at every size —
+    at e.g. 1536² the forward route would OOM the VMEM kernel or crawl
+    through XLA rounds) and forward on asymmetric ones."""
+    from sparse_linear_assignment_tpu import batch as batch_mod
+
+    seen = []
+    real = batch_mod._solve_batch_dense
+
+    def spy(values_t, eps, target_eps, toleration, thresholds, solver,
+            *args, **kw):
+        seen.append(solver)
+        return real(values_t, eps, target_eps, toleration, thresholds,
+                    solver, *args, **kw)
+
+    monkeypatch.setattr(batch_mod, "_solve_batch_dense", spy)
+    rng = np.random.default_rng(3)
+    sq = rng.integers(1, 50, size=(2, 16, 16)).astype(np.float64)
+    sol = batch_mod.solve_batch(sq, dtype=np.float64)
+    assert seen[-1] == "fr"
+    np.testing.assert_allclose(sol.objective, oracle_batch(sq), atol=1e-9)
+    asym = rng.integers(1, 50, size=(2, 8, 16)).astype(np.float64)
+    sol = batch_mod.solve_batch(asym, dtype=np.float64)
+    assert seen[-1] == "forward"
+    assert np.all(sol.num_unassigned == 0)
