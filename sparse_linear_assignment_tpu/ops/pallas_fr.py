@@ -227,15 +227,42 @@ def _fr_kernel(
     *,
     rounds: int,
     group: int,
+    serial: int = 1,
     unroll: int = 1,
 ):
-    m = vals_ref.shape[0] // group
+    m = vals_ref.shape[0] // (group * serial)
     n = vals_ref.shape[1]
     n_f32 = np.float32(n)
 
+    PER = 10  # carried fields per instance
+
+    # ``serial`` sequential sub-batches per grid step, each its own
+    # early-exit while loop over ``group`` interleaved instances: a
+    # sub-batch's instances run to completion before the next starts,
+    # so (unlike ``group``, which is lockstep and measured to only add
+    # waste) serial packing has no straggler coupling — it exists to
+    # amortize the ~12 µs per-grid-step Mosaic entry cost over several
+    # instances (docs/PERFORMANCE.md e2e decomposition).
+    for s in range(serial):
+        _fr_one_block(
+            vals_ref, vals_t_ref, prices_ref, p2o_pad_ref, o2p_ref,
+            pi_pad_ref, prices_out, p2o_pad_out, o2p_out, pi_pad_out,
+            base=s * group, m=m, n=n, n_f32=n_f32, rounds=rounds,
+            group=group, unroll=unroll, PER=PER,
+        )
+
+
+def _fr_one_block(
+    vals_ref, vals_t_ref, prices_ref, p2o_pad_ref, o2p_ref, pi_pad_ref,
+    prices_out, p2o_pad_out, o2p_out, pi_pad_out,
+    *, base, m, n, n_f32, rounds, group, unroll, PER,
+):
+    """One early-exit while loop over the ``group`` instances at slice
+    offsets ``base .. base + group`` of this grid step's refs."""
     # per-instance initial state, mode-oriented
     insts = []
-    for g in range(group):
+    for gg in range(group):
+        g = base + gg
         vals = vals_ref[g * m:(g + 1) * m, :]
         vals_t = vals_t_ref[g * n:(g + 1) * n, :]
         prices = prices_ref[g * m:(g + 1) * m, :]
@@ -251,14 +278,12 @@ def _fr_kernel(
         rowp, colpi, colp2o, rowo2p = _orient(mode0, prices, pi, p2o, o2p)
         card0 = jnp.sum((colp2o != _INT_MAX).astype(jnp.float32))
         insts.append((vals, vals_t, eps))
-        if g == 0:
+        if gg == 0:
             carry = ()
         carry = carry + (
             rowp, colpi, colp2o, rowo2p,
             mode0, done0, nits0, since0, stall_k0, card0,
         )
-
-    PER = 10  # carried fields per instance
 
     def one_round(state, g):
         (rowp, colpi, colp2o, rowo2p,
@@ -340,12 +365,13 @@ def _fr_kernel(
     final = lax.while_loop(keep_going, body, (jnp.int32(0),) + carry)
 
     lane = lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    for g in range(group):
+    for gg in range(group):
         (rowp, colpi, colp2o, rowo2p,
          mode, done, nits, since, stall_k, _card) = final[
-            1 + g * PER:1 + (g + 1) * PER
+            1 + gg * PER:1 + (gg + 1) * PER
         ]
-        eps = insts[g][2]
+        eps = insts[gg][2]
+        g = base + gg
         prices, pi, p2o, o2p = _deorient(mode, rowp, colpi, colp2o, rowo2p)
         prices_out[g * m:(g + 1) * m, :] = prices
         o2p_out[g * m:(g + 1) * m, :] = o2p
@@ -376,14 +402,23 @@ def _fr_kernel(
 def fr_rounds_pallas_flat(
     vals2, vals_t2, prices2, p2o_pad2, o2p2, pi_pad2, b, m, n,
     rounds: int, interpret: bool = False, group: int = 1,
+    serial: int = 1,
 ):
     """Run ``rounds`` forward-reverse rounds on every instance; flat
     stacked layouts as in the module docstring.  ``group`` instances
-    share each grid step (must divide ``b``)."""
+    share each grid step lockstep-interleaved, and ``serial``
+    sub-batches of them run sequentially per step (group * serial must
+    divide ``b``); see ``pick_group``/``pick_serial`` for the measured
+    defaults."""
     dtype = vals2.dtype
-    if b % group:
-        raise ValueError(f"group {group} must divide batch {b}")
-    steps = b // group
+    per_step = group * serial
+    if b % per_step:
+        raise ValueError(
+            f"group*serial {per_step} must divide batch {b}"
+        )
+    steps = b // per_step
+    real_group = group
+    group = per_step  # block factor for the specs below
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(steps,),
@@ -418,7 +453,8 @@ def fr_rounds_pallas_flat(
     unroll = 4 if rounds % 4 == 0 and rounds >= 8 else 1
     return pl.pallas_call(
         functools.partial(
-            _fr_kernel, rounds=rounds, group=group, unroll=unroll
+            _fr_kernel, rounds=rounds, group=real_group, serial=serial,
+            unroll=unroll,
         ),
         grid_spec=grid_spec,
         # the 16 MB scoped-VMEM cap is a compiler default, not the
@@ -451,12 +487,31 @@ def pick_group(b: int, m: int, n: int) -> int:
     return 1
 
 
+def pick_serial(b: int, m: int, n: int) -> int:
+    """Sequential instances per grid step for the batch driver.
+
+    Unlike ``group`` (lockstep interleave, measured to only add waste),
+    serial packing runs each instance's while loop to completion before
+    the next starts — no straggler coupling — built to amortize the
+    measured ~12 µs per-grid-step entry cost (docs/PERFORMANCE.md e2e
+    decomposition).  Kept at 1: measured on the real TPU
+    (experiments/exp_serial_step.py, B=4096×256² int mode), serial ∈
+    {1, 2, 4} is flat — all-done entry 10.30 / 10.47 / 10.42 µs per
+    instance, main-kernel best 525 / 524 / 523 ms — i.e. the "entry"
+    cost scales with instances ENTERED (the per-instance state
+    setup/orient + epilogue writes), not with grid steps, so packing
+    more instances per step saves nothing.  The parameter remains for
+    experiments."""
+    del b, m, n
+    return 1
+
+
 @functools.partial(
-    jax.jit, static_argnames=("rounds", "interpret", "group")
+    jax.jit, static_argnames=("rounds", "interpret", "group", "serial")
 )
 def fr_chunk_pallas(
     values_t, states: FRState, rounds: int, interpret: bool = False,
-    group: int = 0,
+    group: int = 0, serial: int = 0,
 ):
     """``rounds`` fused rounds over a batched FRState (packing to and
     from the kernel's flat layouts happens here, once per chunk).
@@ -464,11 +519,15 @@ def fr_chunk_pallas(
     Only valid in the no-ladder mode (start ε == target ε): the kernel
     performs no ε-scaling bookkeeping.  ``eps``/``nreductions`` pass
     through; ``optimal_found`` mirrors ``done`` (in this mode a full
-    assignment is ε-optimal by construction).  ``group = 0`` picks the
-    interleave factor automatically."""
+    assignment is ε-optimal by construction).  ``group = 0`` /
+    ``serial = 0`` pick the measured defaults automatically."""
     b, m, n = values_t.shape
     if group == 0:
         group = pick_group(b, m, n)
+    if serial == 0:
+        serial = pick_serial(b, m, n)
+        while b % (group * serial):
+            serial //= 2
     dtype = values_t.dtype
     vals2 = values_t.reshape(b * m, n)
     vals_t2 = jnp.swapaxes(values_t, 1, 2).reshape(b * n, m)
@@ -488,7 +547,7 @@ def fr_chunk_pallas(
     prices2, p2o_pad2, o2p2, pi_pad2 = fr_rounds_pallas_flat(
         vals2, vals_t2, prices2, p2o_pad.reshape(b * 8, n), o2p2,
         pi_pad.reshape(b * 8, n), b, m, n, rounds, interpret=interpret,
-        group=group,
+        group=group, serial=serial,
     )
     p2o_pad = p2o_pad2.reshape(b, 8, n)
     pi_pad = pi_pad2.reshape(b, 8, n)

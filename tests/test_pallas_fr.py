@@ -52,9 +52,11 @@ def _xla_rounds(values_t, states, target_eps, rounds):
 
 
 @pytest.mark.parametrize("rounds", [1, 7, 40])
-@pytest.mark.parametrize("group", [1, 2, 4])
+@pytest.mark.parametrize(
+    "group,serial", [(1, 1), (2, 1), (4, 1), (1, 2), (1, 4), (2, 2)]
+)
 @pytest.mark.parametrize("mode", ["f32", "int"])
-def test_kernel_matches_xla_rounds(rounds, group, mode):
+def test_kernel_matches_xla_rounds(rounds, group, serial, mode):
     rng = np.random.default_rng(5)
     b, n = 4, 128
     costs = rng.integers(1, 100, size=(b, n, n)).astype(np.float64)
@@ -75,7 +77,7 @@ def test_kernel_matches_xla_rounds(rounds, group, mode):
 
     want = _xla_rounds(values_t, s0, eps, rounds)
     got, _ = fr_chunk_pallas(values_t, s0, rounds, interpret=True,
-                             group=group)
+                             group=group, serial=serial)
 
     np.testing.assert_array_equal(np.asarray(got.p2o), np.asarray(want.p2o))
     np.testing.assert_array_equal(np.asarray(got.o2p), np.asarray(want.o2p))
