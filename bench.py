@@ -24,6 +24,46 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def require_live_backend(attempts=8, probe_timeout=120, retry_wait=180):
+    """Fail loudly (exit 1) instead of hanging when the TPU tunnel is down.
+
+    The axon backend's ``make_c_api_client`` blocks indefinitely when the
+    tunnel is unreachable (observed 2026-08-17: >12 min with zero
+    progress).  An in-process init cannot be timed out (it holds the
+    GIL inside a C call), so probe in a killable subprocess first and
+    only import jax here once a probe succeeds.  Retries cover
+    transient tunnel restarts; a persistent outage exits nonzero with a
+    clear message rather than wedging the driver with no JSON line.
+    """
+    import subprocess
+
+    probe = (
+        "import jax, jax.numpy as jnp, numpy as np\n"
+        "x = jnp.ones((128, 128))\n"
+        "print('BACKEND_OK', float(np.asarray(x @ x)[0, 0]))\n"
+    )
+    for i in range(attempts):
+        t0 = time.perf_counter()
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                timeout=probe_timeout, text=True,
+            )
+            if "BACKEND_OK" in out.stdout:
+                log(f"backend probe ok in {time.perf_counter() - t0:.1f}s")
+                return
+            log(f"backend probe failed (attempt {i + 1}/{attempts}): "
+                f"{(out.stderr or out.stdout).strip()[-200:]}")
+        except subprocess.TimeoutExpired:
+            log(f"backend probe hung >{probe_timeout}s "
+                f"(attempt {i + 1}/{attempts}) — tunnel down?")
+        if i + 1 < attempts:
+            time.sleep(retry_wait)
+    log("FATAL: accelerator backend unreachable after "
+        f"{attempts} probes — refusing to hang; no metric emitted")
+    sys.exit(1)
+
+
 def bench_headline():
     """n=1e5 k~5 sparse LAP: sequential CPU reference vs hybrid TPU.
 
@@ -237,6 +277,7 @@ def bench_dense_single(n=2048, repeats=3):
 
 
 def main():
+    require_live_backend()
     speedup = bench_headline()
     try:
         ips = bench_batched()
