@@ -76,7 +76,37 @@ def _t(x):
     return jnp.swapaxes(x, 0, 1)
 
 
-def _generic_sub(A, rowp, colpi, colp2o, rowo2p, eps):
+def _top2_rows(key, sent):
+    """Fused top-2 over axis 0 by pairwise halving: ONE depth-log2(M)
+    dependency chain returning (best_key, second_key) ``[1, N]``.
+
+    Replaces the serial best-tree -> sel-mask -> second-tree pair (two
+    dependent reductions, ~16 serial shuffle stages) with a single tree
+    whose stages carry (best, second) pairs: for two halves,
+    ``best = max(b1, b2)`` and ``second = max(min(b1, b2), s1, s2)``
+    (the classic top-2 merge).  Positions are distinct because packed
+    keys are unique per position, so ``second_key``'s value field is
+    exactly the max over non-argmax positions — bit-identical to the
+    masked second tree.  Requires M to be a power of two (the hot 256²
+    path; callers fall back otherwise)."""
+    m = key.shape[0]
+    b = key
+    s = None
+    while m > 1:
+        m //= 2
+        b1, b2 = b[:m], b[m:]
+        lo = jnp.minimum(b1, b2)
+        if s is None:
+            s = lo
+        else:
+            s = jnp.maximum(lo, jnp.maximum(s[:m], s[m:]))
+        b = jnp.maximum(b1, b2)
+    if s is None:  # M == 1: no second position
+        s = jnp.full_like(b, sent)
+    return b, s
+
+
+def _generic_sub(A, rowp, colpi, colp2o, rowo2p, eps, fused_top2=False):
     """One bidding sub-round on ``A [S, S]``: columns are the bidding
     side (persons in forward mode, objects in reverse mode), rows are
     the priced side.  With transposed operands this is *exactly* the
@@ -120,7 +150,10 @@ def _generic_sub(A, rowp, colpi, colp2o, rowo2p, eps):
         sent = np.int32(INT_SENTINEL)
         neg_inf = sent
         key = (profit << sh) | (mask - j_iota)
-        bestk = jnp.max(key, axis=0, keepdims=True)           # [1, N]
+        if fused_top2:
+            bestk, secondk = _top2_rows(key, sent)            # [1, N] x2
+        else:
+            bestk = jnp.max(key, axis=0, keepdims=True)       # [1, N]
         best = bestk >> sh
         best_j = mask - (bestk & mask)
         sel = j_iota == best_j
@@ -135,8 +168,18 @@ def _generic_sub(A, rowp, colpi, colp2o, rowo2p, eps):
             axis=0, keepdims=True,
         )
         sel = j_iota == best_j
-    second = jnp.max(jnp.where(sel, neg_inf, profit), axis=0, keepdims=True)
-    has_second = second != neg_inf
+    if integer and fused_top2:
+        # the fused tree's second key: value field = max profit over
+        # non-argmax positions (identical to the masked tree; keys are
+        # unique per position).  has_second must test the raw key —
+        # sent >> sh is not sent.
+        has_second = secondk != neg_inf
+        second = secondk >> sh
+    else:
+        second = jnp.max(
+            jnp.where(sel, neg_inf, profit), axis=0, keepdims=True
+        )
+        has_second = second != neg_inf
     floor = jnp.where(has_second, second, best)
     raw_inc = best - floor + eps
 
@@ -229,6 +272,7 @@ def _fr_kernel(
     group: int,
     serial: int = 1,
     unroll: int = 1,
+    fused_top2: bool = False,
 ):
     m = vals_ref.shape[0] // (group * serial)
     n = vals_ref.shape[1]
@@ -248,14 +292,14 @@ def _fr_kernel(
             vals_ref, vals_t_ref, prices_ref, p2o_pad_ref, o2p_ref,
             pi_pad_ref, prices_out, p2o_pad_out, o2p_out, pi_pad_out,
             base=s * group, m=m, n=n, n_f32=n_f32, rounds=rounds,
-            group=group, unroll=unroll, PER=PER,
+            group=group, unroll=unroll, PER=PER, fused_top2=fused_top2,
         )
 
 
 def _fr_one_block(
     vals_ref, vals_t_ref, prices_ref, p2o_pad_ref, o2p_ref, pi_pad_ref,
     prices_out, p2o_pad_out, o2p_out, pi_pad_out,
-    *, base, m, n, n_f32, rounds, group, unroll, PER,
+    *, base, m, n, n_f32, rounds, group, unroll, PER, fused_top2,
 ):
     """One early-exit while loop over the ``group`` instances at slice
     offsets ``base .. base + group`` of this grid step's refs."""
@@ -276,7 +320,11 @@ def _fr_one_block(
         since0 = p2o_pad_ref[g * 8 + 1, 3]
         stall_k0 = p2o_pad_ref[g * 8 + 1, 4]
         rowp, colpi, colp2o, rowo2p = _orient(mode0, prices, pi, p2o, o2p)
-        card0 = jnp.sum((colp2o != _INT_MAX).astype(jnp.float32))
+        # matching cardinality rides in lane 5 (computed batch-wide in
+        # one XLA reduce by the chunk wrapper) — saves a serial [1, N]
+        # reduction tree per instance entry; cardinality is orientation
+        # invariant (|matching| is the same from either side)
+        card0 = p2o_pad_ref[g * 8 + 1, 5].astype(jnp.float32)
         insts.append((vals, vals_t, eps))
         if gg == 0:
             carry = ()
@@ -295,7 +343,8 @@ def _fr_one_block(
             # problem, so one generic sub-round serves both
             A = jnp.where(mode, vals, vals_t)
             rowp2, colpi2, colp2o2, rowo2p2, delta = _generic_sub(
-                A, rowp, colpi, colp2o, rowo2p, eps
+                A, rowp, colpi, colp2o, rowo2p, eps,
+                fused_top2=fused_top2,
             )
             # freeze finished instances (bit-exact with exiting early)
             rowp2 = jnp.where(done, rowp, rowp2)
@@ -386,23 +435,28 @@ def _fr_one_block(
                     done.astype(jnp.int32),
                     jnp.where(
                         lane == 3, since,
-                        jnp.where(lane == 4, stall_k, jnp.int32(0)),
+                        jnp.where(
+                            lane == 4, stall_k,
+                            _card.astype(jnp.int32),
+                        ),
                     ),
                 ),
             ),
         )
+        # pad rows 2..7 are never read back (the chunk wrapper reads
+        # rows 0 and 1 only, and rebuilds the pads from FRState each
+        # call) — leaving them unwritten drops 4 [6, N] stores per
+        # instance epilogue
         p2o_pad_out[g * 8:g * 8 + 1, :] = p2o
         p2o_pad_out[g * 8 + 1:g * 8 + 2, :] = meta
-        p2o_pad_out[g * 8 + 2:(g + 1) * 8, :] = jnp.zeros((6, n), jnp.int32)
         pi_pad_out[g * 8:g * 8 + 1, :] = pi
         pi_pad_out[g * 8 + 1:g * 8 + 2, :] = jnp.full((1, n), eps, pi.dtype)
-        pi_pad_out[g * 8 + 2:(g + 1) * 8, :] = jnp.zeros((6, n), pi.dtype)
 
 
 def fr_rounds_pallas_flat(
     vals2, vals_t2, prices2, p2o_pad2, o2p2, pi_pad2, b, m, n,
     rounds: int, interpret: bool = False, group: int = 1,
-    serial: int = 1,
+    serial: int = 1, fused_top2: int = -1,
 ):
     """Run ``rounds`` forward-reverse rounds on every instance; flat
     stacked layouts as in the module docstring.  ``group`` instances
@@ -451,10 +505,15 @@ def fr_rounds_pallas_flat(
     # (measured: the per-round while/branch overhead is ~0.2 us of the
     # 0.95 us marginal round cost)
     unroll = 4 if rounds % 4 == 0 and rounds >= 8 else 1
+    if fused_top2 == -1:
+        # auto: the pairwise-halving top-2 tree needs a power-of-two
+        # row count (both orientations — m == n on this kernel's path);
+        # it only changes the int-mode sub-round (float mode ignores it)
+        fused_top2 = int(m >= 2 and (m & (m - 1)) == 0 and m == n)
     return pl.pallas_call(
         functools.partial(
             _fr_kernel, rounds=rounds, group=real_group, serial=serial,
-            unroll=unroll,
+            unroll=unroll, fused_top2=bool(fused_top2),
         ),
         grid_spec=grid_spec,
         # the 16 MB scoped-VMEM cap is a compiler default, not the
@@ -507,11 +566,13 @@ def pick_serial(b: int, m: int, n: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rounds", "interpret", "group", "serial")
+    jax.jit,
+    static_argnames=("rounds", "interpret", "group", "serial",
+                     "fused_top2"),
 )
 def fr_chunk_pallas(
     values_t, states: FRState, rounds: int, interpret: bool = False,
-    group: int = 0, serial: int = 0,
+    group: int = 0, serial: int = 0, fused_top2: int = -1,
 ):
     """``rounds`` fused rounds over a batched FRState (packing to and
     from the kernel's flat layouts happens here, once per chunk).
@@ -540,6 +601,13 @@ def fr_chunk_pallas(
     p2o_pad = p2o_pad.at[:, 1, 2].set(states.done.astype(jnp.int32))
     p2o_pad = p2o_pad.at[:, 1, 3].set(states.since_inc)
     p2o_pad = p2o_pad.at[:, 1, 4].set(states.stall_k)
+    # matching cardinality (lane 5): one batch-wide XLA reduce here
+    # replaces a serial in-kernel [1, N] tree per instance entry
+    p2o_pad = p2o_pad.at[:, 1, 5].set(
+        jnp.sum(
+            (states.p2o != UNASSIGNED).astype(jnp.int32), axis=1
+        ).astype(jnp.int32)  # x64 promotes int32 sums to int64
+    )
     pi_pad = jnp.zeros((b, 8, n), dtype)
     pi_pad = pi_pad.at[:, 0, :].set(states.profits)
     pi_pad = pi_pad.at[:, 1, 0].set(states.eps)
@@ -547,7 +615,7 @@ def fr_chunk_pallas(
     prices2, p2o_pad2, o2p2, pi_pad2 = fr_rounds_pallas_flat(
         vals2, vals_t2, prices2, p2o_pad.reshape(b * 8, n), o2p2,
         pi_pad.reshape(b * 8, n), b, m, n, rounds, interpret=interpret,
-        group=group, serial=serial,
+        group=group, serial=serial, fused_top2=fused_top2,
     )
     p2o_pad = p2o_pad2.reshape(b, 8, n)
     pi_pad = pi_pad2.reshape(b, 8, n)

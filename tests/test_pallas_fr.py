@@ -104,6 +104,34 @@ def test_kernel_matches_xla_rounds(rounds, group, serial, mode):
     )
 
 
+@pytest.mark.parametrize("rounds", [7, 40])
+@pytest.mark.parametrize("fused", [0, 1])
+def test_kernel_fused_top2_matches(rounds, fused):
+    """The pairwise-halving fused top-2 tree (int mode) must be
+    bit-identical to the two-tree best/second path."""
+    rng = np.random.default_rng(11)
+    b, n = 4, 128
+    costs = rng.integers(1, 100, size=(b, n, n)).astype(np.float64)
+    values_t = jnp.asarray(
+        np.swapaxes(-costs, 1, 2).astype(np.int32) * (n + 1)
+    )
+    s0 = _init_states(values_t, np.int32(1))
+    want = _xla_rounds(values_t, s0, np.int32(1), rounds)
+    got, _ = fr_chunk_pallas(values_t, s0, rounds, interpret=True,
+                             fused_top2=fused)
+    np.testing.assert_array_equal(np.asarray(got.p2o), np.asarray(want.p2o))
+    np.testing.assert_array_equal(np.asarray(got.o2p), np.asarray(want.o2p))
+    np.testing.assert_array_equal(
+        np.asarray(got.prices), np.asarray(want.prices)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.nits), np.asarray(want.nits)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.done), np.asarray(want.done)
+    )
+
+
 def test_kernel_solves_to_optimum_interpret():
     rng = np.random.default_rng(6)
     b, n = 3, 128
