@@ -106,6 +106,41 @@ def _top2_rows(key, sent):
     return b, s
 
 
+def _top2_rows_f32(profit, j_iota, neg_inf):
+    """Float-path analogue of ``_top2_rows``: one pairwise-halving tree
+    over axis 0 carrying (best, argbest, second), replacing THREE serial
+    reductions (best max-tree -> is_best mask -> argbest min-tree ->
+    masked second max-tree).  Tie rule preserved exactly: on equal
+    maxima the lower half wins, so the carried index is always the
+    smallest row index achieving the max (induction over stages — each
+    half's carry already holds its smallest argmax).  ``second`` is the
+    max over non-argbest *positions*, identical to the masked tree:
+    on a tie the other best position's value lands in ``second`` via
+    ``min(b1, b2)``.  Requires a power-of-two row count."""
+    m = profit.shape[0]
+    b, bj = profit, j_iota
+    s = None
+    while m > 1:
+        m //= 2
+        b1, b2 = b[:m], b[m:]
+        j1, j2 = bj[:m], bj[m:]
+        lo = jnp.minimum(b1, b2)
+        if s is None:
+            s = lo
+        else:
+            s = jnp.maximum(lo, jnp.maximum(s[:m], s[m:]))
+        # on value ties the SMALLEST carried index must win — "lower
+        # half first" is not enough (carried indices interleave in
+        # stride order, e.g. slot i may carry row i+128 while slot
+        # i+half carries row i+64), so compare indices explicitly
+        take1 = (b1 > b2) | ((b1 == b2) & (j1 <= j2))
+        b = jnp.where(take1, b1, b2)
+        bj = jnp.where(take1, j1, j2)
+    if s is None:  # M == 1
+        s = jnp.full_like(b, neg_inf)
+    return b, bj, s
+
+
 def _generic_sub(A, rowp, colpi, colp2o, rowo2p, eps, fused_top2=False):
     """One bidding sub-round on ``A [S, S]``: columns are the bidding
     side (persons in forward mode, objects in reverse mode), rows are
@@ -161,12 +196,17 @@ def _generic_sub(A, rowp, colpi, colp2o, rowo2p, eps, fused_top2=False):
         # dtype-typed scalar: a python-float -inf captured across traced
         # jaxprs becomes an f64 binder, which Mosaic cannot lower
         neg_inf = A.dtype.type(-np.inf)
-        best = jnp.max(profit, axis=0, keepdims=True)         # [1, N]
-        is_best = profit == best
-        best_j = jnp.min(
-            jnp.where(is_best, j_iota, jnp.int32(m)),
-            axis=0, keepdims=True,
-        )
+        if fused_top2:
+            best, best_j, second_f = _top2_rows_f32(
+                profit, j_iota, neg_inf
+            )                                                 # [1, N] x3
+        else:
+            best = jnp.max(profit, axis=0, keepdims=True)     # [1, N]
+            is_best = profit == best
+            best_j = jnp.min(
+                jnp.where(is_best, j_iota, jnp.int32(m)),
+                axis=0, keepdims=True,
+            )
         sel = j_iota == best_j
     if integer and fused_top2:
         # the fused tree's second key: value field = max profit over
@@ -175,6 +215,9 @@ def _generic_sub(A, rowp, colpi, colp2o, rowo2p, eps, fused_top2=False):
         # sent >> sh is not sent.
         has_second = secondk != neg_inf
         second = secondk >> sh
+    elif fused_top2:
+        second = second_f
+        has_second = second != neg_inf
     else:
         second = jnp.max(
             jnp.where(sel, neg_inf, profit), axis=0, keepdims=True
@@ -506,9 +549,10 @@ def fr_rounds_pallas_flat(
     # 0.95 us marginal round cost)
     unroll = 4 if rounds % 4 == 0 and rounds >= 8 else 1
     if fused_top2 == -1:
-        # auto: the pairwise-halving top-2 tree needs a power-of-two
+        # auto: the pairwise-halving top-2 trees need a power-of-two
         # row count (both orientations — m == n on this kernel's path);
-        # it only changes the int-mode sub-round (float mode ignores it)
+        # int mode fuses best+second (2 serial trees -> 1), float mode
+        # fuses best+argbest+second (3 serial trees -> 1)
         fused_top2 = int(m >= 2 and (m & (m - 1)) == 0 and m == n)
     return pl.pallas_call(
         functools.partial(

@@ -106,17 +106,28 @@ def test_kernel_matches_xla_rounds(rounds, group, serial, mode):
 
 @pytest.mark.parametrize("rounds", [7, 40])
 @pytest.mark.parametrize("fused", [0, 1])
-def test_kernel_fused_top2_matches(rounds, fused):
-    """The pairwise-halving fused top-2 tree (int mode) must be
-    bit-identical to the two-tree best/second path."""
+@pytest.mark.parametrize("mode", ["f32", "int"])
+def test_kernel_fused_top2_matches(rounds, fused, mode):
+    """The pairwise-halving fused top-2 trees (int: best+second packed;
+    f32: best+argbest+second) must be bit-identical to the serial-tree
+    paths, including the smallest-index tie rule (the low-entropy
+    integer costs here produce many exact profit ties)."""
     rng = np.random.default_rng(11)
     b, n = 4, 128
-    costs = rng.integers(1, 100, size=(b, n, n)).astype(np.float64)
-    values_t = jnp.asarray(
-        np.swapaxes(-costs, 1, 2).astype(np.int32) * (n + 1)
-    )
-    s0 = _init_states(values_t, np.int32(1))
-    want = _xla_rounds(values_t, s0, np.int32(1), rounds)
+    # values in [1, 8): dense exact ties to stress the index tie rule
+    costs = rng.integers(1, 8, size=(b, n, n)).astype(np.float64)
+    if mode == "int":
+        values_t = jnp.asarray(
+            np.swapaxes(-costs, 1, 2).astype(np.int32) * (n + 1)
+        )
+        eps = np.int32(1)
+    else:
+        values_t = jnp.asarray(
+            np.swapaxes(-costs, 1, 2).astype(np.float32)
+        )
+        eps = np.float32(1.0 / n)
+    s0 = _init_states(values_t, eps)
+    want = _xla_rounds(values_t, s0, eps, rounds)
     got, _ = fr_chunk_pallas(values_t, s0, rounds, interpret=True,
                              fused_top2=fused)
     np.testing.assert_array_equal(np.asarray(got.p2o), np.asarray(want.p2o))
