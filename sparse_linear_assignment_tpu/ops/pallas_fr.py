@@ -554,6 +554,13 @@ def fr_rounds_pallas_flat(
         # int mode fuses best+second (2 serial trees -> 1), float mode
         # fuses best+argbest+second (3 serial trees -> 1)
         fused_top2 = int(m >= 2 and (m & (m - 1)) == 0 and m == n)
+    elif fused_top2 and not (m >= 2 and (m & (m - 1)) == 0 and m == n):
+        # the halving loop floor-divides odd row counts and would
+        # silently drop rows — refuse rather than miscompute
+        raise ValueError(
+            f"fused_top2 requires square power-of-two instances, got "
+            f"{m}x{n}"
+        )
     return pl.pallas_call(
         functools.partial(
             _fr_kernel, rounds=rounds, group=real_group, serial=serial,

@@ -143,6 +143,25 @@ def test_kernel_fused_top2_matches(rounds, fused, mode):
     )
 
 
+def test_fused_top2_guard_non_pow2():
+    """Forcing the fused tree on a non-power-of-two size must raise
+    (the halving loop would silently drop rows); auto must fall back."""
+    rng = np.random.default_rng(12)
+    b, n = 2, 192
+    costs = rng.integers(1, 100, size=(b, n, n)).astype(np.float64)
+    values_t = jnp.asarray(np.swapaxes(-costs, 1, 2).astype(np.float32))
+    eps = np.float32(1.0 / n)
+    s0 = _init_states(values_t, eps)
+    with pytest.raises(ValueError, match="power-of-two"):
+        fr_chunk_pallas(values_t, s0, 4, interpret=True, fused_top2=1)
+    want = _xla_rounds(values_t, s0, eps, 8)
+    got, _ = fr_chunk_pallas(values_t, s0, 8, interpret=True)  # auto
+    np.testing.assert_array_equal(np.asarray(got.p2o), np.asarray(want.p2o))
+    np.testing.assert_array_equal(
+        np.asarray(got.prices), np.asarray(want.prices)
+    )
+
+
 def test_kernel_solves_to_optimum_interpret():
     rng = np.random.default_rng(6)
     b, n = 3, 128
