@@ -110,6 +110,8 @@ def _fr_big_kernel(
     blks_ps,        # [G, N] f32 scratch (cached per-block second)
     blkr_ps,        # [G, N] i32 scratch (cached per-block argbest, global)
     dirty_ps,       # [G, BM] f32 scratch (block price state stale?)
+    aflag_ps,       # [G, 128] f32 scratch (hoisted pass-A block flags)
+    bflag_ps,       # [G, 128] f32 scratch (hoisted pass-B block flags)
     sem,            # DMA semaphore pair
     *,
     rounds: int,
@@ -138,30 +140,14 @@ def _fr_big_kernel(
     prices_ps[:] = prices_in[:]
     o2p_ps[:] = o2p_in[:]
 
-    def has_free(g):
-        """Any free object in block ``g``?  A scalar reduction over the
-        packed owner row — the block-skip predicate for reverse work.
-        In the endgame ε-war (measured: 1024² spends ~450 of 611 rounds
-        on ONE unassigned person) almost every block is idle in reverse
-        mode; skipping idle blocks' DMA and compute makes war rounds
-        ~G× cheaper.  Skips are exact no-ops: an idle block has no
-        bidders, so its conflict resolution and writes are identities
-        (pinned by the interpret-mode equivalence tests)."""
-        row = o2p_ps[pl.ds(g, 1), :]
-        return jnp.sum(
-            (row < dtype.type(0)).astype(jnp.float32)
-        ) > jnp.float32(0)
-
-    def dirty(g):
-        """Have block ``g``'s prices changed since its cached top-2 rows
-        were computed?  The forward-pass-A cache: per-block per-person
-        (best, second, argbest) persist in [G, N] scratch, and a block
-        is re-scanned only when pass B wrote one of its prices.  In the
-        endgame war 1–2 blocks change per round, so forward rounds drop
-        from a full matrix traversal to a couple of block scans plus a
-        [G, N] merge — exact, because profits depend on prices alone
-        and every price write marks its block."""
-        return jnp.sum(dirty_ps[pl.ds(g, 1), :]) > jnp.float32(0)
+    # Block-skip predicates (free objects for reverse work, price-stale
+    # top-2 caches for forward — in the endgame ε-war, measured: 1024²
+    # spends ~450 of 611 rounds on ONE unassigned person, almost every
+    # block is idle, and skipping idle blocks' DMA and compute makes
+    # war rounds ~G× cheaper; skips are exact no-ops pinned by the
+    # interpret-mode equivalence tests) are HOISTED to one [G, BM]
+    # round-start reduce (aflag_ps) instead of per-block row sums —
+    # see round_body.
 
     def mark_dirty(g, flag):
         def set_row():
@@ -171,15 +157,19 @@ def _fr_big_kernel(
 
     # all caches stale on kernel entry (scratch does not survive calls)
     dirty_ps[:] = jnp.ones((g_blocks, bm), jnp.float32)
+    p2o_init = p2o_pad_in[0:1, :]
     carry = (
         jnp.int32(0),
         pi_pad_in[0:1, :],
-        p2o_pad_in[0:1, :],
+        p2o_init,
         p2o_pad_in[1, 1] != 0,    # forward mode
         p2o_pad_in[1, 2] != 0,    # done
         p2o_pad_in[1, 0],         # nits
         p2o_pad_in[1, 3],         # since_inc
         p2o_pad_in[1, 4],         # stall_k
+        # matching cardinality, carried (one entry-time reduce instead
+        # of one per round)
+        jnp.sum((p2o_init != _INT_MAX).astype(jnp.float32)),
     )
 
     # prologue: block 0 of round 0 in flight before the loop; each
@@ -188,8 +178,10 @@ def _fr_big_kernel(
     start(jnp.int32(0), vbuf0, 0)
 
     def round_body(carry):
-        (i, pi, p2o, mode, done, nits, since, stall_k) = carry
-        card_old = jnp.sum((p2o != _INT_MAX).astype(jnp.float32))
+        # cardinality is CARRIED between rounds (saves a serial [1, N]
+        # reduction per round; exact — every p2o write path updates it
+        # through card_new below)
+        (i, pi, p2o, mode, done, nits, since, stall_k, card_old) = carry
 
         # ---- reset accumulators
         accf[_BEST:_BEST + 1, :] = jnp.full((1, n), neg_inf, dtype)
@@ -198,6 +190,21 @@ def _fr_big_kernel(
         accf[_CODE:_CODE + 1, :] = jnp.zeros((1, n), dtype)
         acci[_BEST_J:_BEST_J + 1, :] = jnp.full((1, n), _INT_MAX, jnp.int32)
         acci[_ACC_ARG:_ACC_ARG + 1, :] = jnp.full((1, n), _INT_MAX, jnp.int32)
+
+        # ---- hoisted pass-A block predicates: ONE [G, BM] axis-1
+        # reduce per flavor replaces 2·G narrow per-block trees per
+        # round (the per-block dirty()/has_free() sums).  Exact: pass A
+        # never writes o2p_ps, and fwd_a only clears a block's own
+        # dirty row after its own scan, so round-start flags equal the
+        # per-block reads they replace.  freef is reused by the pass-B
+        # reverse flags (also not invalidated before pass B).
+        dirtyf = jnp.sum(dirty_ps[:], axis=1, keepdims=True)       # [G, 1]
+        freef = jnp.sum(
+            (o2p_ps[:] < dtype.type(0)).astype(jnp.float32),
+            axis=1, keepdims=True,
+        )                                                          # [G, 1]
+        aflag = jnp.where(mode, dirtyf, freef)
+        aflag_ps[:, :] = jnp.broadcast_to(aflag, (g_blocks, 128))
 
         # ---- pass A: stream dirty value blocks (cached blocks skip
         # DMA and compute entirely — see dirty())
@@ -297,12 +304,15 @@ def _fr_big_kernel(
         def need(g):
             """Fetch/compute predicate for pass A: forward re-scans only
             price-stale blocks (the top-2 cache covers the rest);
-            reverse only blocks with free objects."""
-            return (mode & dirty(g)) | (~mode & has_free(g))
+            reverse only blocks with free objects.  Reads the hoisted
+            round-start flag (one scalar load) instead of reducing the
+            block's row."""
+            return aflag_ps[pl.ds(g, 1), 0:1][0, 0] > jnp.float32(0)
 
         def block_a(g, buf):
-            pl.when(mode & dirty(g))(lambda: fwd_a(g, buf[:]))
-            pl.when(~mode & has_free(g))(lambda: rev_a(g, buf[:]))
+            nd = need(g)
+            pl.when(mode & nd)(lambda: fwd_a(g, buf[:]))
+            pl.when(~mode & nd)(lambda: rev_a(g, buf[:]))
 
         def pair_a(gg, c):
             g0 = jnp.int32(2) * gg
@@ -343,6 +353,46 @@ def _fr_big_kernel(
         accf[_INC:_INC + 1, :] = jnp.where(
             bidding, best - floor + eps, neg_inf
         )
+
+        # ---- hoisted pass-B block predicates: one [G, N] histogram
+        # reduce replaces a WIDE [1, N] sum per block per round (the
+        # dominant war-round cost at large N: G serial 64-tile folds).
+        # Forward: blocks holding some bidding person's best object;
+        # reverse: blocks with a free object or a displaced person's
+        # current object.  Exact: identical boolean per block as the
+        # in-loop sums they replace (o2p_ps/p2o are not written between
+        # here and each block's own pass-B visit).
+        if bm & (bm - 1) == 0:
+            sh_bm = np.int32(bm.bit_length() - 1)
+
+            def _blk_of(x):
+                return lax.shift_right_logical(x, sh_bm)
+        else:
+            def _blk_of(x):
+                return x // jnp.int32(bm)
+
+        g_iota_n = lax.broadcasted_iota(jnp.int32, (g_blocks, n), 0)
+
+        def _fwd_hist():
+            inc_row = accf[_INC:_INC + 1, :]
+            bj = acci[_BEST_J:_BEST_J + 1, :]
+            active = inc_row != neg_inf
+            return jnp.sum(
+                ((_blk_of(bj) == g_iota_n) & active).astype(jnp.float32),
+                axis=1, keepdims=True,
+            )
+
+        def _rev_hist():
+            acc_max_row = accf[_ACC_MAX:_ACC_MAX + 1, :]
+            rdisp = (acc_max_row != neg_inf) & (p2o != _INT_MAX)
+            hist = jnp.sum(
+                ((_blk_of(p2o) == g_iota_n) & rdisp).astype(jnp.float32),
+                axis=1, keepdims=True,
+            )
+            return hist + freef  # free blocks always visit in reverse
+
+        bflag = lax.cond(mode, _fwd_hist, _rev_hist)
+        bflag_ps[:, :] = jnp.broadcast_to(bflag, (g_blocks, 128))
 
         # ---- pass B: conflict resolution + updates (no value reads)
         def fwd_b(g):
@@ -419,26 +469,12 @@ def _fr_big_kernel(
             )
 
         def block_b(g, c):
-            bm_i = jnp.int32(bm)
-            # forward: only blocks holding some bidding person's best
-            # object have work (winner resolution, price/owner writes,
-            # code contributions are all gated on is_here)
-            inc = accf[_INC:_INC + 1, :]
-            best_j = acci[_BEST_J:_BEST_J + 1, :]
-            in_blk = (best_j >= g * bm_i) & (best_j < (g + 1) * bm_i)
-            fwd_need = jnp.sum(
-                (in_blk & (inc != neg_inf)).astype(jnp.float32)
-            ) > jnp.float32(0)
-            # reverse: blocks with a free (potentially bidding) object,
-            # or holding a displaced person's current object (freed)
-            acc_max = accf[_ACC_MAX:_ACC_MAX + 1, :]
-            rdisp = (acc_max != neg_inf) & (p2o != _INT_MAX)
-            p2o_in_blk = rdisp & (p2o >= g * bm_i) & (p2o < (g + 1) * bm_i)
-            rev_need = has_free(g) | (
-                jnp.sum(p2o_in_blk.astype(jnp.float32)) > jnp.float32(0)
-            )
-            pl.when(mode & fwd_need)(lambda: fwd_b(g))
-            pl.when(~mode & rev_need)(lambda: rev_b(g))
+            # block-has-work flags hoisted to the [G, N] histogram
+            # above — one scalar load per block instead of a wide
+            # [1, N] sum per block per round
+            bneed = bflag_ps[pl.ds(g, 1), 0:1][0, 0] > jnp.float32(0)
+            pl.when(mode & bneed)(lambda: fwd_b(g))
+            pl.when(~mode & bneed)(lambda: rev_b(g))
             return c
 
         lax.fori_loop(
@@ -487,12 +523,13 @@ def _fr_big_kernel(
         )
         nits = nits + (~done).astype(jnp.int32)
         done = done | (card_new == jnp.float32(n))
-        return (i + jnp.int32(1), pi, p2o, mode, done, nits, since, stall_k)
+        return (i + jnp.int32(1), pi, p2o, mode, done, nits, since,
+                stall_k, card_new)
 
     def keep_going(carry):
         return (carry[0] < jnp.int32(rounds)) & ~carry[4]
 
-    (_, pi, p2o, mode, done, nits, since, stall_k) = lax.while_loop(
+    (_, pi, p2o, mode, done, nits, since, stall_k, _card) = lax.while_loop(
         keep_going, round_body, carry
     )
     wait(jnp.int32(0), vbuf0, 0)              # consume outstanding DMA
@@ -594,6 +631,8 @@ def fr_big_chunk(
             pltpu.VMEM((g, n), dtype),
             pltpu.VMEM((g, n), jnp.int32),
             pltpu.VMEM((g, bm), jnp.float32),
+            pltpu.VMEM((g, 128), jnp.float32),
+            pltpu.VMEM((g, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         # the block top-2 caches add 3 [G, N] buffers (~12 MB at
