@@ -59,6 +59,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..solution import UNASSIGNED
 from .fr_dense import STALL_K0, FRState
+from .pallas_fr import _top2_rows_f32
 
 _INT_MAX = np.int32(UNASSIGNED)
 _STALL_K0 = np.int32(STALL_K0)
@@ -215,15 +216,12 @@ def _fr_big_kernel(
             r_local = lax.broadcasted_iota(jnp.int32, (bm, n), 0)
             prices_col = _to_col(prices_ps[pl.ds(g, 1), :])
             profit = vals_blk - prices_col
-            blk_best = jnp.max(profit, axis=0, keepdims=True)   # [1, N]
-            is_best = profit == blk_best
-            blk_r = jnp.min(
-                jnp.where(is_best, r_local, jnp.int32(bm)),
-                axis=0, keepdims=True,
-            )
-            sel = r_local == blk_r
-            blk_second = jnp.max(
-                jnp.where(sel, neg_inf, profit), axis=0, keepdims=True
+            # one pairwise-halving tree for (best, argbest, second)
+            # instead of three serial reductions — identical values and
+            # smallest-row tie rule (see ops/pallas_fr._top2_rows_f32;
+            # bm is a power of two by construction)
+            blk_best, blk_r, blk_second = _top2_rows_f32(
+                profit, r_local, neg_inf
             )
             blkb_ps[pl.ds(g, 1), :] = blk_best
             blks_ps[pl.ds(g, 1), :] = blk_second
@@ -579,6 +577,8 @@ def fr_big_chunk(
     mirrors ``done``."""
     m, n = vals_t.shape
     assert n % 128 == 0 and m % (2 * bm) == 0
+    # the fused in-block top-2 halves rows repeatedly (pallas_fr helper)
+    assert bm >= 2 and bm & (bm - 1) == 0, "bm must be a power of two"
     g = m // bm
     dtype = vals_t.dtype
 
