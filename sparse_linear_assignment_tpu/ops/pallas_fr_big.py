@@ -89,6 +89,51 @@ def _to_row(v_col):
     return jnp.sum(jnp.where(r == c, full, z), axis=0, keepdims=True)
 
 
+def _top2_lanes(x, u_iota, neg_inf, want_second=True, tail=128):
+    """Fused (best, argbest[, second]) over axis 1 by pairwise halving
+    of 128-lane-aligned slices, with a narrow 3-tree tail on the last
+    tile — replaces 2–3 serial FULL-width lane reductions with
+    log2(N/128) wide stages + narrow trees.  Lane slices stay 128-tile
+    aligned (sub-tile lane slicing does not lower on Mosaic).  Tie rule
+    preserved exactly: each slot carries the smallest column index
+    achieving its max (explicit index compare on value ties), and the
+    tail takes the min index among tied slots; ``second`` is the max
+    over non-argbest positions (a non-winning tied slot's best lands in
+    it, and the winning slot contributes its own carried second).
+    Halving stops when the width is no longer an even multiple of
+    ``tail`` (e.g. N = 384): the tail trees then run at that width —
+    still correct, just fewer fused stages."""
+    w = x.shape[1]
+    b, bj = x, u_iota
+    s = None
+    while w > tail and w % (2 * tail) == 0:
+        w //= 2
+        b1, b2 = b[:, :w], b[:, w:]
+        j1, j2 = bj[:, :w], bj[:, w:]
+        if want_second:
+            lo = jnp.minimum(b1, b2)
+            if s is None:
+                s = lo
+            else:
+                s = jnp.maximum(lo, jnp.maximum(s[:, :w], s[:, w:]))
+        take1 = (b1 > b2) | ((b1 == b2) & (j1 <= j2))
+        b = jnp.where(take1, b1, b2)
+        bj = jnp.where(take1, j1, j2)
+    best = jnp.max(b, axis=1, keepdims=True)
+    is_best = b == best
+    arg = jnp.min(
+        jnp.where(is_best, bj, jnp.int32(UNASSIGNED)),
+        axis=1, keepdims=True,
+    )
+    if not want_second:
+        return best, arg, None
+    if s is None:
+        s = jnp.full_like(b, neg_inf)
+    sel = is_best & (bj == arg)
+    second = jnp.max(jnp.where(sel, s, b), axis=1, keepdims=True)
+    return best, arg, second
+
+
 def _fr_big_kernel(
     vals_ref,       # [M, N] HBM (pl.ANY)
     prices_in,      # [G, BM] f32 VMEM (packed per-object prices)
@@ -260,16 +305,10 @@ def _fr_big_kernel(
             r_local = lax.broadcasted_iota(jnp.int32, (bm, n), 0)
             u_iota = lax.broadcasted_iota(jnp.int32, (bm, n), 1)
             rprof = vals_blk - pi                               # [BM, N]
-            beta = jnp.max(rprof, axis=1, keepdims=True)        # [BM, 1]
-            is_beta = rprof == beta
-            best_i = jnp.min(
-                jnp.where(is_beta, u_iota, jnp.int32(n)),
-                axis=1, keepdims=True,
-            )
+            # fused (beta, best_i, gamma): one lane-halving chain
+            # instead of three serial full-width lane trees
+            beta, best_i, gamma = _top2_lanes(rprof, u_iota, neg_inf)
             rsel = u_iota == best_i
-            gamma = jnp.max(
-                jnp.where(rsel, neg_inf, rprof), axis=1, keepdims=True
-            )
             rfloor = jnp.where(gamma != neg_inf, gamma, beta)
             pi_inc = beta - rfloor + eps
 
@@ -403,10 +442,15 @@ def _fr_big_kernel(
             local_j = best_j - g * jnp.int32(bm)               # [1, N]
             is_here = (local_j == r_local) & (inc != neg_inf)
             eff = jnp.where(is_here, inc, neg_inf)             # [BM, N]
-            max_inc = jnp.max(eff, axis=1, keepdims=True)      # [BM, 1]
+            # fused (max_inc, winner): one lane-halving chain instead
+            # of two serial full-width lane trees.  Equivalent tie
+            # rule: the old path took the min u_iota among eff ==
+            # max_inc positions; the halving carries the smallest
+            # index achieving the max.
+            max_inc, winner, _ = _top2_lanes(
+                eff, u_iota, neg_inf, want_second=False
+            )
             has_winner = max_inc != neg_inf
-            cand = jnp.where(is_here & (eff >= max_inc), u_iota, _INT_MAX)
-            winner = jnp.min(cand, axis=1, keepdims=True)      # [BM, 1]
 
             prices_col = _to_col(prices_ps[pl.ds(g, 1), :])
             prices_ps[pl.ds(g, 1), :] = _to_row(
