@@ -141,6 +141,51 @@ def _top2_rows_f32(profit, j_iota, neg_inf):
     return b, bj, s
 
 
+def _top2_lanes(x, u_iota, neg_inf, want_second=True, tail=128):
+    """Fused (best, argbest[, second]) over axis 1 by pairwise halving
+    of 128-lane-aligned slices, with a narrow 3-tree tail on the last
+    tile — replaces 2–3 serial FULL-width lane reductions with
+    log2(N/128) wide stages + narrow trees.  Lane slices stay 128-tile
+    aligned (sub-tile lane slicing does not lower on Mosaic).  Tie rule
+    preserved exactly: each slot carries the smallest column index
+    achieving its max (explicit index compare on value ties), and the
+    tail takes the min index among tied slots; ``second`` is the max
+    over non-argbest positions (a non-winning tied slot's best lands in
+    it, and the winning slot contributes its own carried second).
+    Halving stops when the width is no longer an even multiple of
+    ``tail`` (e.g. N = 384): the tail trees then run at that width —
+    still correct, just fewer fused stages."""
+    w = x.shape[1]
+    b, bj = x, u_iota
+    s = None
+    while w > tail and w % (2 * tail) == 0:
+        w //= 2
+        b1, b2 = b[:, :w], b[:, w:]
+        j1, j2 = bj[:, :w], bj[:, w:]
+        if want_second:
+            lo = jnp.minimum(b1, b2)
+            if s is None:
+                s = lo
+            else:
+                s = jnp.maximum(lo, jnp.maximum(s[:, :w], s[:, w:]))
+        take1 = (b1 > b2) | ((b1 == b2) & (j1 <= j2))
+        b = jnp.where(take1, b1, b2)
+        bj = jnp.where(take1, j1, j2)
+    best = jnp.max(b, axis=1, keepdims=True)
+    is_best = b == best
+    arg = jnp.min(
+        jnp.where(is_best, bj, jnp.int32(UNASSIGNED)),
+        axis=1, keepdims=True,
+    )
+    if not want_second:
+        return best, arg, None
+    if s is None:
+        s = jnp.full_like(b, neg_inf)
+    sel = is_best & (bj == arg)
+    second = jnp.max(jnp.where(sel, s, b), axis=1, keepdims=True)
+    return best, arg, second
+
+
 def _generic_sub(A, rowp, colpi, colp2o, rowo2p, eps, fused_top2=False):
     """One bidding sub-round on ``A [S, S]``: columns are the bidding
     side (persons in forward mode, objects in reverse mode), rows are
@@ -238,10 +283,23 @@ def _generic_sub(A, rowp, colpi, colp2o, rowo2p, eps, fused_top2=False):
     else:
         inc = jnp.where(bidding, raw_inc, neg_inf)
         eff = jnp.where(is_here, inc, neg_inf)
-        max_inc = jnp.max(eff, axis=1, keepdims=True)         # [M, 1]
+        if fused_top2:
+            # one lane-halving chain for (max_inc, winner) instead of
+            # two serial full-width lane trees.  Tie rule identical
+            # (smallest index among maxima); when a row has no bid the
+            # winner value differs from the serial path's _INT_MAX but
+            # is never read (every consumer is gated on has_winner or
+            # is_here).
+            max_inc, winner, _ = _top2_lanes(
+                eff, u_iota, neg_inf, want_second=False
+            )                                                 # [M, 1] x2
+        else:
+            max_inc = jnp.max(eff, axis=1, keepdims=True)     # [M, 1]
+            cand = jnp.where(
+                is_here & (eff >= max_inc), u_iota, _INT_MAX
+            )
+            winner = jnp.min(cand, axis=1, keepdims=True)     # [M, 1]
         has_winner = max_inc != neg_inf
-        cand = jnp.where(is_here & (eff >= max_inc), u_iota, _INT_MAX)
-        winner = jnp.min(cand, axis=1, keepdims=True)         # [M, 1]
 
     rowp_new = jnp.where(has_winner, rowp + max_inc, rowp)
     rowo2p_new = jnp.where(has_winner, winner, rowo2p)

@@ -59,7 +59,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..solution import UNASSIGNED
 from .fr_dense import STALL_K0, FRState
-from .pallas_fr import _top2_rows_f32
+from .pallas_fr import _top2_lanes, _top2_rows_f32
 
 _INT_MAX = np.int32(UNASSIGNED)
 _STALL_K0 = np.int32(STALL_K0)
@@ -87,51 +87,6 @@ def _to_row(v_col):
     z = v_col.dtype.type(0)
     full = jnp.broadcast_to(v_col, (bm, bm))
     return jnp.sum(jnp.where(r == c, full, z), axis=0, keepdims=True)
-
-
-def _top2_lanes(x, u_iota, neg_inf, want_second=True, tail=128):
-    """Fused (best, argbest[, second]) over axis 1 by pairwise halving
-    of 128-lane-aligned slices, with a narrow 3-tree tail on the last
-    tile — replaces 2–3 serial FULL-width lane reductions with
-    log2(N/128) wide stages + narrow trees.  Lane slices stay 128-tile
-    aligned (sub-tile lane slicing does not lower on Mosaic).  Tie rule
-    preserved exactly: each slot carries the smallest column index
-    achieving its max (explicit index compare on value ties), and the
-    tail takes the min index among tied slots; ``second`` is the max
-    over non-argbest positions (a non-winning tied slot's best lands in
-    it, and the winning slot contributes its own carried second).
-    Halving stops when the width is no longer an even multiple of
-    ``tail`` (e.g. N = 384): the tail trees then run at that width —
-    still correct, just fewer fused stages."""
-    w = x.shape[1]
-    b, bj = x, u_iota
-    s = None
-    while w > tail and w % (2 * tail) == 0:
-        w //= 2
-        b1, b2 = b[:, :w], b[:, w:]
-        j1, j2 = bj[:, :w], bj[:, w:]
-        if want_second:
-            lo = jnp.minimum(b1, b2)
-            if s is None:
-                s = lo
-            else:
-                s = jnp.maximum(lo, jnp.maximum(s[:, :w], s[:, w:]))
-        take1 = (b1 > b2) | ((b1 == b2) & (j1 <= j2))
-        b = jnp.where(take1, b1, b2)
-        bj = jnp.where(take1, j1, j2)
-    best = jnp.max(b, axis=1, keepdims=True)
-    is_best = b == best
-    arg = jnp.min(
-        jnp.where(is_best, bj, jnp.int32(UNASSIGNED)),
-        axis=1, keepdims=True,
-    )
-    if not want_second:
-        return best, arg, None
-    if s is None:
-        s = jnp.full_like(b, neg_inf)
-    sel = is_best & (bj == arg)
-    second = jnp.max(jnp.where(sel, s, b), axis=1, keepdims=True)
-    return best, arg, second
 
 
 def _fr_big_kernel(
