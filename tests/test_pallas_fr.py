@@ -107,13 +107,16 @@ def test_kernel_matches_xla_rounds(rounds, group, serial, mode):
 @pytest.mark.parametrize("rounds", [7, 40])
 @pytest.mark.parametrize("fused", [0, 1])
 @pytest.mark.parametrize("mode", ["f32", "int"])
-def test_kernel_fused_top2_matches(rounds, fused, mode):
+@pytest.mark.parametrize("n", [128, 256])
+def test_kernel_fused_top2_matches(rounds, fused, mode, n):
     """The pairwise-halving fused top-2 trees (int: best+second packed;
-    f32: best+argbest+second) must be bit-identical to the serial-tree
-    paths, including the smallest-index tie rule (the low-entropy
-    integer costs here produce many exact profit ties)."""
+    f32: best+argbest+second and the fused winner pair) must be
+    bit-identical to the serial-tree paths, including the
+    smallest-index tie rule (the low-entropy integer costs here produce
+    many exact profit ties).  n=256 exercises at least one lane-halving
+    stage (128 is the tail width — zero stages)."""
     rng = np.random.default_rng(11)
-    b, n = 4, 128
+    b = 4
     # values in [1, 8): dense exact ties to stress the index tie rule
     costs = rng.integers(1, 8, size=(b, n, n)).astype(np.float64)
     if mode == "int":
