@@ -24,7 +24,7 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def require_live_backend(attempts=8, probe_timeout=120, retry_wait=180):
+def require_live_backend(attempts=6, probe_timeout=240, retry_wait=180):
     """Fail loudly (exit 1) instead of hanging when the TPU tunnel is down.
 
     The axon backend's ``make_c_api_client`` blocks indefinitely when the
@@ -34,6 +34,10 @@ def require_live_backend(attempts=8, probe_timeout=120, retry_wait=180):
     only import jax here once a probe succeeds.  Retries cover
     transient tunnel restarts; a persistent outage exits nonzero with a
     clear message rather than wedging the driver with no JSON line.
+
+    probe_timeout budgets client init + one tiny matmul compile, NOT a
+    library compile — a healthy-but-slow day measured ~10–40 s of init;
+    240 s leaves wide margin so a slow tunnel is not declared dead.
     """
     import subprocess
 

@@ -50,7 +50,7 @@ print(f"undone: {int(b - np.asarray(st_done.done).sum())} of {b}",
 
 
 def measure(label):
-    PF.fr_chunk_pallas._clear_cache()
+    PF.fr_chunk_pallas.clear_cache()
     out, _ = PF.fr_chunk_pallas(vt, st_done, budget, False)
     sync(out)
     best = None

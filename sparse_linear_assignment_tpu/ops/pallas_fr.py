@@ -610,8 +610,15 @@ def fr_rounds_pallas_flat(
         # auto: the pairwise-halving top-2 trees need a power-of-two
         # row count (both orientations — m == n on this kernel's path);
         # int mode fuses best+second (2 serial trees -> 1), float mode
-        # fuses best+argbest+second (3 serial trees -> 1)
-        fused_top2 = int(m >= 2 and (m & (m - 1)) == 0 and m == n)
+        # fuses best+argbest+second (3 serial trees -> 1).
+        # SLAP_TPU_NO_FUSED_TOP2=1 is the runtime kill switch in case a
+        # backend/toolchain change stops lowering the halving slices.
+        import os
+
+        if os.environ.get("SLAP_TPU_NO_FUSED_TOP2"):
+            fused_top2 = 0
+        else:
+            fused_top2 = int(m >= 2 and (m & (m - 1)) == 0 and m == n)
     elif fused_top2 and not (m >= 2 and (m & (m - 1)) == 0 and m == n):
         # the halving loop floor-divides odd row counts and would
         # silently drop rows — refuse rather than miscompute
@@ -696,7 +703,7 @@ def fr_chunk_pallas(
         group = pick_group(b, m, n)
     if serial == 0:
         serial = pick_serial(b, m, n)
-        while b % (group * serial):
+        while serial > 1 and b % (group * serial):
             serial //= 2
     dtype = values_t.dtype
     vals2 = values_t.reshape(b * m, n)

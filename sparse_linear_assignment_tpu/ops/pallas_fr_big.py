@@ -354,14 +354,11 @@ def _fr_big_kernel(
         # current object.  Exact: identical boolean per block as the
         # in-loop sums they replace (o2p_ps/p2o are not written between
         # here and each block's own pass-B visit).
-        if bm & (bm - 1) == 0:
-            sh_bm = np.int32(bm.bit_length() - 1)
+        # bm is a power of two by construction (fr_big_chunk asserts)
+        sh_bm = np.int32(bm.bit_length() - 1)
 
-            def _blk_of(x):
-                return lax.shift_right_logical(x, sh_bm)
-        else:
-            def _blk_of(x):
-                return x // jnp.int32(bm)
+        def _blk_of(x):
+            return lax.shift_right_logical(x, sh_bm)
 
         g_iota_n = lax.broadcasted_iota(jnp.int32, (g_blocks, n), 0)
 
