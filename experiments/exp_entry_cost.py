@@ -1,15 +1,19 @@
-"""Decompose the ~10.3 us per-instance kernel entry cost
-(exp_serial_step.py: flat in `serial`, so it is per-instance
-setup/epilogue work, not grid machinery).
+"""Measure the fused kernel's per-instance entry cost (all-done call).
 
-Hypothesis: the _orient/_deorient lax.cond transposes dominate —
-Mosaic [S,1]<->[1,S] vector relayouts measured ~expensive in the
-int3t probe (docs/PERFORMANCE.md).  Measurement-only monkeypatch:
-identity orient/deorient (semantically wrong for reverse-mode
-instances; the all-done path only passes state through).
+History: exp_serial_step.py showed a ~10.4 µs/instance "entry" cost
+that scales with instances ENTERED, not grid steps — per-instance
+state setup + epilogue.  Three structural cuts since:
 
-Second lever measured: skipping the 6-row zero padding writes in the
-epilogue (output rows 2..7 are never read back).
+- cardinality carried in via a pad scalar (was a serial [1, N] tree
+  per instance entry);
+- the epilogue no longer writes the never-read [6, N] zero-pad rows;
+- the per-instance lax.cond + 4 Mosaic vector transposes at entry and
+  exit moved into batched XLA wheres in the chunk wrapper
+  (pre-oriented planes).
+
+This probe re-measures the all-done entry cost to record how much of
+the 10.4 µs those cuts removed, plus the main-kernel time at the
+driver bench shape (B=4096, 256² int mode).
 """
 import time
 
@@ -30,7 +34,6 @@ jax.block_until_ready(dev)
 
 scale = B._integer_scale(None, None, n, n, True, 1000)
 vt = B._stage_values_t_int(dev, True, scale)
-budget = int(max(96, n + n // 4))
 
 
 def sync(x):
@@ -48,34 +51,34 @@ for i in range(16):
 print(f"undone: {int(b - np.asarray(st_done.done).sum())} of {b}",
       flush=True)
 
-
-def measure(label):
-    PF.fr_chunk_pallas.clear_cache()
+budget = budget_chunk
+# all-done call: every instance enters its grid step, sees done, and
+# exits — pure entry+epilogue cost
+out, _ = PF.fr_chunk_pallas(vt, st_done, budget, False)
+sync(out)
+best = None
+for _ in range(7):
+    t0 = time.perf_counter()
     out, _ = PF.fr_chunk_pallas(vt, st_done, budget, False)
     sync(out)
-    best = None
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out, _ = PF.fr_chunk_pallas(vt, st_done, budget, False)
-        sync(out)
-        dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
-    print(f"{label}: all-done {best * 1e3:.1f} ms "
-          f"({best / b * 1e6:.2f} us/inst)")
+    dt = time.perf_counter() - t0
+    best = dt if best is None or dt < best else best
+print(f"all-done entry: {best * 1e3:.1f} ms ({best / b * 1e6:.2f} "
+      f"us/inst; was 10.30 before the entry cuts)", flush=True)
 
-
-measure("baseline")
-
-# identity-shaped: the forward orientation is a pass-through (prices/
-# o2p already [M,1] columns, pi/p2o already [1,N] rows), so patching
-# both helpers to identity removes exactly the lax.cond + 4-transposes
-# pair at entry and exit
-orig_orient, orig_deorient = PF._orient, PF._deorient
-PF._orient = lambda mode, p, q, a, b_: (p, q, a, b_)
-PF._deorient = lambda mode, p, q, a, b_: (p, q, a, b_)
-measure("identity orient/deorient (measurement only)")
-PF._orient, PF._deorient = orig_orient, orig_deorient
-
-# third probe: orient cost with mode uniformly forward vs reverse is
-# data-dependent; restore and re-measure to confirm the patch cycle
-measure("baseline restored")
+# main kernel from fresh state (marginal context for the same shapes)
+s0 = B._fr_batch_init(vt, jnp.full((b,), 1.0))
+sync(s0)
+st, _ = PF.fr_chunk_pallas(vt, s0, budget, False)
+sync(st)
+best = None
+for _ in range(5):
+    t0 = time.perf_counter()
+    st, _ = PF.fr_chunk_pallas(vt, s0, budget, False)
+    sync(st)
+    dt = time.perf_counter() - t0
+    best = dt if best is None or dt < best else best
+nits = int(np.asarray(st.nits).sum())
+print(f"fresh budget-{budget}: {best * 1e3:.1f} ms, nits {nits} "
+      f"-> {best / nits * 1e6:.3f} us/executed-round "
+      f"(was 525 ms / ~0.665 us)", flush=True)

@@ -299,7 +299,13 @@ def fr_round(
     )
     stall_flip = ~increased & (s.since_inc + 1 >= s.stall_k) & ~s.done
     forward_mode = s.forward_mode ^ ((increased | stall_flip) & ~s.done)
-    since_inc = jnp.where(increased | stall_flip, 0, s.since_inc + 1)
+    # freeze since_inc once done (like every other carried field) so a
+    # fixed-length scan over a finished instance is state-identical to
+    # the kernel's early exit — pinned by the chunk-boundary test
+    since_inc = jnp.where(
+        s.done, s.since_inc,
+        jnp.where(increased | stall_flip, 0, s.since_inc + 1),
+    )
     stall_k = jnp.where(
         increased,
         jnp.int32(STALL_K0),

@@ -337,26 +337,6 @@ def _generic_sub(A, rowp, colpi, colp2o, rowo2p, eps, fused_top2=False):
     return rowp_new, colpi_new, colp2o_new, rowo2p_new, delta
 
 
-def _orient(mode, prices, pi, p2o, o2p):
-    """Canonical state -> mode-oriented (row side = priced side)."""
-    return lax.cond(
-        mode,
-        lambda p, q, a, b: (p, q, a, b),
-        lambda p, q, a, b: (_t(q), _t(p), _t(b), _t(a)),
-        prices, pi, p2o, o2p,
-    )
-
-
-def _deorient(mode, rowp, colpi, colp2o, rowo2p):
-    """Mode-oriented state -> canonical (prices, pi, p2o, o2p)."""
-    return lax.cond(
-        mode,
-        lambda p, q, a, b: (p, q, a, b),
-        lambda p, q, a, b: (_t(q), _t(p), _t(b), _t(a)),
-        rowp, colpi, colp2o, rowo2p,
-    )
-
-
 def _fr_kernel(
     vals_ref,       # [G*M, N] VMEM
     vals_t_ref,     # [G*N, M] VMEM (transpose; M == N)
@@ -404,23 +384,27 @@ def _fr_one_block(
 ):
     """One early-exit while loop over the ``group`` instances at slice
     offsets ``base .. base + group`` of this grid step's refs."""
-    # per-instance initial state, mode-oriented
+    # per-instance initial state.  The planes arrive PRE-ORIENTED: the
+    # chunk wrapper swaps (prices, pi) and (p2o, o2p) per instance with
+    # batched XLA wheres (M == N, same-shape planes), so the column
+    # plane always holds the priced side and the row plane the bidding
+    # side — no per-instance lax.cond + 4 Mosaic transposes at entry
+    # and exit (part of the measured ~10 µs/instance entry cost).
     insts = []
     for gg in range(group):
         g = base + gg
         vals = vals_ref[g * m:(g + 1) * m, :]
         vals_t = vals_t_ref[g * n:(g + 1) * n, :]
-        prices = prices_ref[g * m:(g + 1) * m, :]
-        o2p = o2p_ref[g * m:(g + 1) * m, :]
-        p2o = p2o_pad_ref[g * 8:g * 8 + 1, :]
-        pi = pi_pad_ref[g * 8:g * 8 + 1, :]
+        rowp = prices_ref[g * m:(g + 1) * m, :]
+        rowo2p = o2p_ref[g * m:(g + 1) * m, :]
+        colp2o = p2o_pad_ref[g * 8:g * 8 + 1, :]
+        colpi = pi_pad_ref[g * 8:g * 8 + 1, :]
         eps = pi_pad_ref[g * 8 + 1, 0]
         nits0 = p2o_pad_ref[g * 8 + 1, 0]
         mode0 = p2o_pad_ref[g * 8 + 1, 1] != 0
         done0 = p2o_pad_ref[g * 8 + 1, 2] != 0
         since0 = p2o_pad_ref[g * 8 + 1, 3]
         stall_k0 = p2o_pad_ref[g * 8 + 1, 4]
-        rowp, colpi, colp2o, rowo2p = _orient(mode0, prices, pi, p2o, o2p)
         # matching cardinality rides in lane 5 (computed batch-wide in
         # one XLA reduce by the chunk wrapper) — saves a serial [1, N]
         # reduction tree per instance entry; cardinality is orientation
@@ -522,9 +506,10 @@ def _fr_one_block(
         ]
         eps = insts[gg][2]
         g = base + gg
-        prices, pi, p2o, o2p = _deorient(mode, rowp, colpi, colp2o, rowo2p)
-        prices_out[g * m:(g + 1) * m, :] = prices
-        o2p_out[g * m:(g + 1) * m, :] = o2p
+        # written ORIENTED; the chunk wrapper de-orients with batched
+        # XLA wheres using the mode flag in the meta row
+        prices_out[g * m:(g + 1) * m, :] = rowp
+        o2p_out[g * m:(g + 1) * m, :] = rowo2p
         meta = jnp.where(
             lane == 0,
             nits,
@@ -548,10 +533,11 @@ def _fr_one_block(
         # rows 0 and 1 only, and rebuilds the pads from FRState each
         # call) — leaving them unwritten drops 4 [6, N] stores per
         # instance epilogue
-        p2o_pad_out[g * 8:g * 8 + 1, :] = p2o
+        p2o_pad_out[g * 8:g * 8 + 1, :] = colp2o
         p2o_pad_out[g * 8 + 1:g * 8 + 2, :] = meta
-        pi_pad_out[g * 8:g * 8 + 1, :] = pi
-        pi_pad_out[g * 8 + 1:g * 8 + 2, :] = jnp.full((1, n), eps, pi.dtype)
+        pi_pad_out[g * 8:g * 8 + 1, :] = colpi
+        pi_pad_out[g * 8 + 1:g * 8 + 2, :] = jnp.full((1, n), eps,
+                                                      colpi.dtype)
 
 
 def fr_rounds_pallas_flat(
@@ -708,10 +694,21 @@ def fr_chunk_pallas(
     dtype = values_t.dtype
     vals2 = values_t.reshape(b * m, n)
     vals_t2 = jnp.swapaxes(values_t, 1, 2).reshape(b * n, m)
-    prices2 = states.prices.reshape(b * m, 1)
-    o2p2 = states.o2p.reshape(b * m, 1)
+    # PRE-ORIENT per instance with batched wheres (M == N, same-shape
+    # planes): the column plane carries the priced side (rowp/rowo2p),
+    # the row plane the bidding side (colpi/colp2o).  This removes the
+    # per-instance lax.cond + 4 Mosaic vector transposes at kernel
+    # entry AND exit (part of the measured ~10 µs/instance entry cost);
+    # these wheres are one fused XLA pass over the batch.
+    fwd = states.forward_mode[:, None]
+    rowp = jnp.where(fwd, states.prices, states.profits)
+    colpi = jnp.where(fwd, states.profits, states.prices)
+    colp2o = jnp.where(fwd, states.p2o, states.o2p)
+    rowo2p = jnp.where(fwd, states.o2p, states.p2o)
+    prices2 = rowp.reshape(b * m, 1)
+    o2p2 = rowo2p.reshape(b * m, 1)
     p2o_pad = jnp.zeros((b, 8, n), jnp.int32)
-    p2o_pad = p2o_pad.at[:, 0, :].set(states.p2o)
+    p2o_pad = p2o_pad.at[:, 0, :].set(colp2o)
     p2o_pad = p2o_pad.at[:, 1, 0].set(states.nits)
     p2o_pad = p2o_pad.at[:, 1, 1].set(states.forward_mode.astype(jnp.int32))
     p2o_pad = p2o_pad.at[:, 1, 2].set(states.done.astype(jnp.int32))
@@ -725,7 +722,7 @@ def fr_chunk_pallas(
         ).astype(jnp.int32)  # x64 promotes int32 sums to int64
     )
     pi_pad = jnp.zeros((b, 8, n), dtype)
-    pi_pad = pi_pad.at[:, 0, :].set(states.profits)
+    pi_pad = pi_pad.at[:, 0, :].set(colpi)
     pi_pad = pi_pad.at[:, 1, 0].set(states.eps)
 
     prices2, p2o_pad2, o2p2, pi_pad2 = fr_rounds_pallas_flat(
@@ -736,11 +733,19 @@ def fr_chunk_pallas(
     p2o_pad = p2o_pad2.reshape(b, 8, n)
     pi_pad = pi_pad2.reshape(b, 8, n)
     done = p2o_pad[:, 1, 2] != 0
+    # DE-ORIENT with the exit-time mode (the kernel writes oriented
+    # planes; the flip transposes inside the round loop keep the
+    # layouts, only the roles swap)
+    fwd2 = (p2o_pad[:, 1, 1] != 0)[:, None]
+    rowp_out = prices2.reshape(b, m)
+    colpi_out = pi_pad[:, 0, :]
+    colp2o_out = p2o_pad[:, 0, :]
+    rowo2p_out = o2p2.reshape(b, m)
     new_states = FRState(
-        prices=prices2.reshape(b, m),
-        profits=pi_pad[:, 0, :],
-        p2o=p2o_pad[:, 0, :],
-        o2p=o2p2.reshape(b, m),
+        prices=jnp.where(fwd2, rowp_out, colpi_out),
+        profits=jnp.where(fwd2, colpi_out, rowp_out),
+        p2o=jnp.where(fwd2, colp2o_out, rowo2p_out),
+        o2p=jnp.where(fwd2, rowo2p_out, colp2o_out),
         eps=states.eps,
         forward_mode=p2o_pad[:, 1, 1] != 0,
         since_inc=p2o_pad[:, 1, 3],

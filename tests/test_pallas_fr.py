@@ -146,6 +146,40 @@ def test_kernel_fused_top2_matches(rounds, fused, mode, n):
     )
 
 
+@pytest.mark.parametrize("mode", ["f32", "int"])
+def test_kernel_chunk_boundary_roundtrip(mode):
+    """Split 40 rounds into 7 + 33 across two chunk calls: the state
+    crossing the wrapper boundary mid-solve (mixed forward/reverse
+    modes across the batch) must round-trip the pre-orientation packing
+    exactly — same result as one 40-round call and as the XLA rounds."""
+    rng = np.random.default_rng(13)
+    b, n = 4, 128
+    costs = rng.integers(1, 100, size=(b, n, n)).astype(np.float64)
+    if mode == "int":
+        values_t = jnp.asarray(
+            np.swapaxes(-costs, 1, 2).astype(np.int32) * (n + 1)
+        )
+        eps = np.int32(1)
+    else:
+        values_t = jnp.asarray(np.swapaxes(-costs, 1, 2).astype(np.float32))
+        eps = np.float32(1.0 / n)
+    s0 = _init_states(values_t, eps)
+    want = _xla_rounds(values_t, s0, eps, 40)
+    mid, _ = fr_chunk_pallas(values_t, s0, 7, interpret=True)
+    # the boundary state must actually mix modes, else the reverse
+    # orientation packing is not exercised (7 rounds of FR on these
+    # instances flips at least one instance into reverse mode)
+    modes = np.asarray(mid.forward_mode)
+    assert not modes.all(), "boundary state is all-forward; pick rounds"
+    got, _ = fr_chunk_pallas(values_t, mid, 33, interpret=True)
+    for f in ("p2o", "o2p", "prices", "profits", "nits", "done",
+              "forward_mode", "since_inc", "stall_k"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f)), np.asarray(getattr(want, f)),
+            err_msg=f,
+        )
+
+
 def test_fused_top2_guard_non_pow2():
     """Forcing the fused tree on a non-power-of-two size must raise
     (the halving loop would silently drop rows); auto must fall back."""
