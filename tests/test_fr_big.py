@@ -253,6 +253,26 @@ def test_big_single_tail_miss_resumes_device(monkeypatch):
     assert float(sol.objective[0]) == costs[0][r, c].sum()
 
 
+def test_big_single_maximize(monkeypatch):
+    """maximize=True through the streaming big-single path (the sign
+    handling happens in solve_batch's staging before the kernel)."""
+    from scipy.optimize import linear_sum_assignment
+
+    from sparse_linear_assignment_tpu import batch as batch_mod
+
+    monkeypatch.setattr(batch_mod, "_BIG_INTERPRET_ON_CPU", True)
+    monkeypatch.setattr(batch_mod, "_BIG_MIN_ELEMS", 0)
+    n = 256
+    rng = np.random.default_rng(17)
+    costs = rng.integers(1, 1000, size=(1, n, n)).astype(np.float64)
+    sol = batch_mod.solve_batch(
+        costs, solver="fr", dtype=np.float32, integer=False, maximize=True
+    )
+    assert int(sol.num_unassigned.sum()) == 0
+    r, c = linear_sum_assignment(costs[0], maximize=True)
+    assert float(sol.objective[0]) == costs[0][r, c].sum()
+
+
 def test_fr_big_optimal_vs_scipy():
     from scipy.optimize import linear_sum_assignment
 
