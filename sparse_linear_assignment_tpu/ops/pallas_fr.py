@@ -540,6 +540,31 @@ def _fr_one_block(
                                                       colpi.dtype)
 
 
+def _resolve_fused_top2(fused_top2: int, m: int, n: int) -> int:
+    """Resolve the fused-top-2 flag: -1 = auto (on for square
+    power-of-two instances — the pairwise-halving trees need a
+    power-of-two row count in both orientations, and m == n on this
+    kernel's path — unless the SLAP_TPU_NO_FUSED_TOP2=1 runtime kill
+    switch is set, kept in case a backend/toolchain change stops
+    lowering the halving slices).  Int mode fuses best+second (2 serial
+    trees -> 1), float mode best+argbest+second (3 -> 1).  An explicit
+    1 on an ineligible shape raises: the halving loop floor-divides odd
+    row counts and would silently drop rows."""
+    eligible = m >= 2 and (m & (m - 1)) == 0 and m == n
+    if fused_top2 == -1:
+        import os
+
+        if os.environ.get("SLAP_TPU_NO_FUSED_TOP2"):
+            return 0
+        return int(eligible)
+    if fused_top2 and not eligible:
+        raise ValueError(
+            f"fused_top2 requires square power-of-two instances, got "
+            f"{m}x{n}"
+        )
+    return fused_top2
+
+
 def fr_rounds_pallas_flat(
     vals2, vals_t2, prices2, p2o_pad2, o2p2, pi_pad2, b, m, n,
     rounds: int, interpret: bool = False, group: int = 1,
@@ -592,26 +617,7 @@ def fr_rounds_pallas_flat(
     # (measured: the per-round while/branch overhead is ~0.2 us of the
     # 0.95 us marginal round cost)
     unroll = 4 if rounds % 4 == 0 and rounds >= 8 else 1
-    if fused_top2 == -1:
-        # auto: the pairwise-halving top-2 trees need a power-of-two
-        # row count (both orientations — m == n on this kernel's path);
-        # int mode fuses best+second (2 serial trees -> 1), float mode
-        # fuses best+argbest+second (3 serial trees -> 1).
-        # SLAP_TPU_NO_FUSED_TOP2=1 is the runtime kill switch in case a
-        # backend/toolchain change stops lowering the halving slices.
-        import os
-
-        if os.environ.get("SLAP_TPU_NO_FUSED_TOP2"):
-            fused_top2 = 0
-        else:
-            fused_top2 = int(m >= 2 and (m & (m - 1)) == 0 and m == n)
-    elif fused_top2 and not (m >= 2 and (m & (m - 1)) == 0 and m == n):
-        # the halving loop floor-divides odd row counts and would
-        # silently drop rows — refuse rather than miscompute
-        raise ValueError(
-            f"fused_top2 requires square power-of-two instances, got "
-            f"{m}x{n}"
-        )
+    fused_top2 = _resolve_fused_top2(fused_top2, m, n)
     return pl.pallas_call(
         functools.partial(
             _fr_kernel, rounds=rounds, group=real_group, serial=serial,

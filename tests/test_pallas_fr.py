@@ -273,3 +273,22 @@ def test_fused_straggler_continuation_interpret():
         want = costs[bi][r, c].sum()
         got = costs[bi][np.arange(n), p2o[bi]].sum()
         assert abs(got - want) < 1e-6, (bi, got, want)
+
+
+def test_resolve_fused_top2_kill_switch(monkeypatch):
+    """SLAP_TPU_NO_FUSED_TOP2=1 must force the serial-tree path on
+    auto while leaving explicit requests untouched (the runtime escape
+    hatch if a toolchain change stops lowering the halving slices)."""
+    from sparse_linear_assignment_tpu.ops.pallas_fr import (
+        _resolve_fused_top2,
+    )
+
+    monkeypatch.delenv("SLAP_TPU_NO_FUSED_TOP2", raising=False)
+    assert _resolve_fused_top2(-1, 256, 256) == 1
+    assert _resolve_fused_top2(-1, 192, 192) == 0  # non-pow2 auto-off
+    assert _resolve_fused_top2(-1, 256, 128) == 0  # non-square auto-off
+    monkeypatch.setenv("SLAP_TPU_NO_FUSED_TOP2", "1")
+    assert _resolve_fused_top2(-1, 256, 256) == 0
+    # the kill switch gates only AUTO; explicit opt-in/out is preserved
+    assert _resolve_fused_top2(1, 256, 256) == 1
+    assert _resolve_fused_top2(0, 256, 256) == 0
