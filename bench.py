@@ -284,7 +284,19 @@ def main():
     require_live_backend()
     speedup = bench_headline()
     try:
-        ips = bench_batched()
+        try:
+            ips = bench_batched()
+        except Exception as e:
+            # The fused top-2 halving trees (ops/pallas_fr.py) are the
+            # newest Mosaic-lowering surface; if they fail to compile on
+            # the driver's toolchain, fall back to the validated serial
+            # trees rather than losing the batched record.
+            import os
+
+            log(f"batched bench failed ({e!r}) — retrying with "
+                f"SLAP_TPU_NO_FUSED_TOP2=1")
+            os.environ["SLAP_TPU_NO_FUSED_TOP2"] = "1"
+            ips = bench_batched()
         log(f"batched 256x256 throughput: {ips:.0f} inst/s "
             f"(north star 10k/s)")
     except Exception as e:  # batched is secondary; don't fail the bench
