@@ -38,6 +38,10 @@ def require_live_backend(attempts=6, probe_timeout=240, retry_wait=180):
     probe_timeout budgets client init + one tiny matmul compile, NOT a
     library compile — a healthy-but-slow day measured ~10–40 s of init;
     240 s leaves wide margin so a slow tunnel is not declared dead.
+
+    Returns True when the backend answered, False after all probes
+    failed (the caller then runs the degraded CPU-only headline instead
+    of losing the round's record entirely).
     """
     import subprocess
 
@@ -55,7 +59,7 @@ def require_live_backend(attempts=6, probe_timeout=240, retry_wait=180):
             )
             if "BACKEND_OK" in out.stdout:
                 log(f"backend probe ok in {time.perf_counter() - t0:.1f}s")
-                return
+                return True
             log(f"backend probe failed (attempt {i + 1}/{attempts}): "
                 f"{(out.stderr or out.stdout).strip()[-200:]}")
         except subprocess.TimeoutExpired:
@@ -63,9 +67,59 @@ def require_live_backend(attempts=6, probe_timeout=240, retry_wait=180):
                 f"(attempt {i + 1}/{attempts}) — tunnel down?")
         if i + 1 < attempts:
             time.sleep(retry_wait)
-    log("FATAL: accelerator backend unreachable after "
-        f"{attempts} probes — refusing to hang; no metric emitted")
-    sys.exit(1)
+    log("WARNING: accelerator backend unreachable after "
+        f"{attempts} probes — falling back to the DEGRADED CPU-only "
+        "headline (framework default engine, no TPU)")
+    return False
+
+
+def bench_headline_degraded():
+    """Tunnel-outage fallback: the framework's default `solve()` vs the
+    sequential CPU reference, no accelerator involved.
+
+    `solve(engine="auto")` routes plain sparse singles to the native
+    ε-ladder engine (the measured-fastest correct engine for this
+    instance class — see docs/PERFORMANCE.md auto-router notes), so
+    this is exactly what a user of the framework gets on this instance;
+    it just exercises none of the TPU path.  Logged loudly as degraded
+    so the record cannot be mistaken for a hardware run.
+
+    The jax platform is forced to CPU before the package import:
+    during an outage the axon plugin hangs any process that touches the
+    default backend (docs/PERFORMANCE.md round-3 fifth session).
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from sparse_linear_assignment_tpu import KhoslaSolver
+    from sparse_linear_assignment_tpu.cpu_reference import khosla_solve_cpu
+    from sparse_linear_assignment_tpu.generators import gen_symmetric_input
+
+    n = 100_000
+    solver, solution = KhoslaSolver.new(n, n, 10 * n)
+    gen_symmetric_input(solver, 42, n, 5.0 / n, 0.0, 10.0)
+    ref = KhoslaSolver.new(n, n, 10 * n)[0]
+    gen_symmetric_input(ref, 42, n, 5.0 / n, 0.0, 10.0)
+
+    t0 = time.perf_counter()
+    cpu_sol, cpu_nits = khosla_solve_cpu(ref)
+    cpu_time = time.perf_counter() - t0
+    cpu_obj = ref.get_objective(cpu_sol)
+    log(f"CPU reference: {cpu_time:.2f}s nits={cpu_nits} obj={cpu_obj:.2f}")
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        solver.solve(solution, False)  # engine="auto" -> native ladder
+        times.append(time.perf_counter() - t0)
+        log(f"default solve() repeat {i}: {times[-1]:.3f}s")
+    best = min(times)
+    obj = solver.get_objective(solution)
+    assert solution.num_unassigned == 0
+    assert abs(obj - cpu_obj) <= n * solution.eps + 1e-6, (obj, cpu_obj)
+    log(f"DEGRADED headline (no TPU): default solve() {best:.3f}s vs "
+        f"reference {cpu_time:.2f}s = {cpu_time / best:.1f}x")
+    return cpu_time / best
 
 
 def bench_headline():
@@ -281,7 +335,16 @@ def bench_dense_single(n=2048, repeats=3):
 
 
 def main():
-    require_live_backend()
+    if not require_live_backend():
+        speedup = bench_headline_degraded()
+        print(json.dumps({
+            "metric": "n1e5_k5_sparse_lap_speedup_vs_sequential_cpu",
+            "value": round(speedup, 3),
+            "unit": "x",
+            "vs_baseline": round(speedup, 3),
+            "degraded": "tpu_tunnel_unreachable_cpu_only_fallback",
+        }))
+        return
     speedup = bench_headline()
     try:
         try:
