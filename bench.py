@@ -73,7 +73,7 @@ def require_live_backend(attempts=6, probe_timeout=240, retry_wait=180):
     return False
 
 
-def bench_headline_degraded():
+def bench_headline_degraded(n=100_000, repeats=3):
     """Tunnel-outage fallback: the framework's default `solve()` vs the
     sequential CPU reference, no accelerator involved.
 
@@ -95,7 +95,6 @@ def bench_headline_degraded():
     from sparse_linear_assignment_tpu.cpu_reference import khosla_solve_cpu
     from sparse_linear_assignment_tpu.generators import gen_symmetric_input
 
-    n = 100_000
     solver, solution = KhoslaSolver.new(n, n, 10 * n)
     gen_symmetric_input(solver, 42, n, 5.0 / n, 0.0, 10.0)
     ref = KhoslaSolver.new(n, n, 10 * n)[0]
@@ -108,7 +107,7 @@ def bench_headline_degraded():
     log(f"CPU reference: {cpu_time:.2f}s nits={cpu_nits} obj={cpu_obj:.2f}")
 
     times = []
-    for i in range(3):
+    for i in range(repeats):
         t0 = time.perf_counter()
         solver.solve(solution, False)  # engine="auto" -> native ladder
         times.append(time.perf_counter() - t0)

@@ -101,3 +101,21 @@ def test_explicit_device_args_force_device_path():
     # the sequential engine pops at least one person per assignment;
     # the device ladder finishes in far fewer Jacobi rounds
     assert rounds_nits < pops_nits
+
+
+def test_bench_degraded_headline_small():
+    """The bench driver's tunnel-outage fallback (bench.py:
+    bench_headline_degraded) must run end-to-end: default solve() vs
+    the sequential CPU reference, objectives agreeing within n*eps.
+    Pinned at a small n so the suite covers the code path the driver
+    only hits during an outage."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    try:
+        import bench
+    finally:
+        sys.path.pop(0)
+    speedup = bench.bench_headline_degraded(n=400, repeats=1)
+    assert speedup > 0
