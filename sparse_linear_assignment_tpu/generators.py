@@ -95,13 +95,25 @@ def gen_ksparse_uniform(
         solver.extend_from_values(i, cols, vals)
 
 
-def dense_cost_matrix(solver, big: float = 1e9) -> np.ndarray:
+def dense_cost_matrix(solver, big: float = 1e9,
+                      original_units: bool = False) -> np.ndarray:
     """Densify the solver's CSR into a full matrix with ``big`` for missing
-    arcs — for oracle (scipy) cross-checks."""
+    arcs — for oracle (scipy) cross-checks.
+
+    ``original_units=True`` undoes the in-place sign flip that a
+    minimize/maximize ``solve`` may have applied to the stored values
+    (`solver.rs:214-216`; the same ``values[0]``-sign rule
+    ``get_objective`` uses, `solver.rs:111-115`), so the returned arcs
+    are always in the caller's original cost units regardless of solve
+    history.  Only real arcs are corrected; the ``big`` fill is left
+    untouched.
+    """
     mat = np.full((solver.num_rows, solver.num_cols), big, dtype=np.float64)
     counts = solver.j_counts.astype(np.int64)
     cols = solver.column_indices.astype(np.int64)
     vals = solver.values
+    if original_units and vals.size and vals[0] < 0:
+        vals = -vals
     rows = np.repeat(np.arange(solver.num_rows, dtype=np.int64), counts)
     mat[rows, cols] = vals
     return mat

@@ -56,9 +56,7 @@ def test_native_vs_oracle_symmetric(engine, seed):
     else:
         solution, _, _, _ = forward_solve_cpu(solver)
     assert solution.num_unassigned == 0
-    mat = dense_cost_matrix(solver, big=1e9)
-    if solver.values[0] < 0:
-        mat = np.where(np.abs(mat) < 1e9, -mat, mat)
+    mat = dense_cost_matrix(solver, big=1e9, original_units=True)
     r, c = linear_sum_assignment(mat)
     want = float(mat[r, c].sum())
     got = solver.get_objective(solution)

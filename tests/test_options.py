@@ -16,9 +16,7 @@ from sparse_linear_assignment_tpu.generators import (
 
 def oracle(solver, maximize=False):
     big = -1e9 if maximize else 1e9
-    mat = dense_cost_matrix(solver, big=big)
-    if solver.values.size and solver.values[0] < 0:
-        mat = np.where(np.abs(mat) < 1e9, -mat, mat)
+    mat = dense_cost_matrix(solver, big=big, original_units=True)
     r, c = linear_sum_assignment(mat, maximize=maximize)
     return float(mat[r, c].sum())
 

@@ -32,11 +32,8 @@ BIG = 1e9
 
 
 def oracle_objective(solver, maximize: bool) -> float:
-    mat = dense_cost_matrix(solver, big=BIG if not maximize else -BIG)
-    # init_solve may have negated the stored values in place
-    # (solver.rs:214-216); restore original cost units for the oracle.
-    if solver.values.size and solver.values[0] < 0:
-        mat = np.where(np.abs(mat) < BIG, -mat, mat)
+    mat = dense_cost_matrix(solver, big=BIG if not maximize else -BIG,
+                            original_units=True)
     row, col = linear_sum_assignment(mat, maximize=maximize)
     assert np.all(np.abs(mat[row, col]) < BIG), "oracle used a missing arc"
     return float(mat[row, col].sum())

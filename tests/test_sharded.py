@@ -32,9 +32,7 @@ def test_sharded_matches_single_device(n_devices):
     assert nits > 0
 
     # objective must agree with the scipy oracle up to n*eps
-    mat = dense_cost_matrix(solver, big=1e9)
-    if solver.values[0] < 0:
-        mat = np.where(np.abs(mat) < 1e9, -mat, mat)
+    mat = dense_cost_matrix(solver, big=1e9, original_units=True)
     r, c = linear_sum_assignment(mat)
     want = float(mat[r, c].sum())
     got = solver.get_objective(sharded_sol)
@@ -110,9 +108,7 @@ def test_sharded_forward_asymmetric_and_padding():
     assert sol.num_unassigned == 0
     assert nits > 0
 
-    mat = dense_cost_matrix(solver, big=1e9)
-    if solver.values[0] < 0:
-        mat = np.where(np.abs(mat) < 1e9, -mat, mat)
+    mat = dense_cost_matrix(solver, big=1e9, original_units=True)
     r, c = linear_sum_assignment(mat)
     want = float(mat[r, c].sum())
     got = solver.get_objective(sol)

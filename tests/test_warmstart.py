@@ -22,9 +22,7 @@ from sparse_linear_assignment_tpu.generators import (
 
 
 def _oracle_bounds(solver, solution):
-    mat = dense_cost_matrix(solver, big=1e9)
-    if solver.values[0] < 0:
-        mat = np.where(np.abs(mat) < 1e9, -mat, mat)
+    mat = dense_cost_matrix(solver, big=1e9, original_units=True)
     r, c = linear_sum_assignment(mat)
     want = float(mat[r, c].sum())
     got = solver.get_objective(solution)
