@@ -292,3 +292,69 @@ def test_resolve_fused_top2_kill_switch(monkeypatch):
     # the kill switch gates only AUTO; explicit opt-in/out is preserved
     assert _resolve_fused_top2(1, 256, 256) == 1
     assert _resolve_fused_top2(0, 256, 256) == 0
+
+
+FUZZ_CASES = [
+    # (seed, mode, lo, hi) — value distributions the fixed-seed
+    # equivalence tests above do not reach
+    (101, "int", 1, 16_000),   # near the 2^31 packed-key bound at n=128
+    (102, "int", 1, 16_000),   #   (8*(C*D + n+1)*2^ceil(log2 n) < 2^31,
+    (103, "f32", 1, 10**6),    #    D = n+1 = 129 -> C < ~16.2k)
+    (104, "f32", 1, 10**6),    # wide f32 range: price/profit magnitudes
+    (105, "int", 5, 6),        # ALL costs equal: every profit tied,
+    (106, "f32", 5, 6),        #   maximal stress on the index tie rule
+    (107, "int", 1, 3),        # near-degenerate low-entropy lattice
+    (108, "f32", 1, 100),      # baseline range, fresh seeds
+]
+
+
+@pytest.mark.parametrize("seed,mode,lo,hi", FUZZ_CASES)
+def test_kernel_fuzz_equivalence_and_optimum(seed, mode, lo, hi):
+    """Randomized sweep: the fused-tree kernel must stay bit-equivalent
+    to the XLA rounds over 48 rounds (mode switches, stall preemption
+    and done-freezing included) AND reach the exact scipy optimum when
+    run to completion — across value distributions the fixed-seed tests
+    above never reach (near-packing-bound lattices, wide f32 ranges,
+    all-equal costs)."""
+    rng = np.random.default_rng(seed)
+    b, n = 3, 128
+    costs = rng.integers(lo, hi, size=(b, n, n)).astype(np.float64)
+    if mode == "int":
+        values_t = jnp.asarray(
+            np.swapaxes(-costs, 1, 2).astype(np.int32) * (n + 1)
+        )
+        eps = np.int32(1)
+        assert 8 * (hi * (n + 1) + n + 1) * (2 ** 7) < 2**31  # gate bound
+    else:
+        values_t = jnp.asarray(np.swapaxes(-costs, 1, 2).astype(np.float32))
+        eps = np.float32(1.0 / (n + 1))
+    s0 = _init_states(values_t, eps)
+
+    # bit-equivalence over a fixed 48-round window
+    want = _xla_rounds(values_t, s0, eps, 48)
+    got, _ = fr_chunk_pallas(values_t, s0, 48, interpret=True)
+    for field in ("p2o", "o2p", "prices", "profits", "nits", "done",
+                  "forward_mode", "since_inc", "stall_k"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, field)),
+            np.asarray(getattr(want, field)),
+            err_msg=f"field {field} diverged (seed={seed} mode={mode})",
+        )
+
+    # completion + exactness: integer costs with eps = 1/(n+1) in
+    # original units sit strictly inside the n*eps < 1 exactness bound
+    states, alldone = got, False
+    for _ in range(80):
+        states, alldone = fr_chunk_pallas(values_t, states, 32,
+                                          interpret=True)
+        if bool(alldone):
+            break
+    assert bool(alldone), f"not done (seed={seed} mode={mode})"
+    p2o = np.asarray(states.p2o)
+    for bi in range(b):
+        r, c = linear_sum_assignment(costs[bi])
+        want_obj = costs[bi][r, c].sum()
+        got_obj = costs[bi][np.arange(n), p2o[bi]].sum()
+        # f32 at hi=1e6 loses exactness to rounding; bound by n*rounding
+        tol = 1e-6 if (mode == "int" or hi <= 2**20) else n * hi * 2e-7
+        assert abs(got_obj - want_obj) <= tol, (bi, got_obj, want_obj)
