@@ -287,3 +287,43 @@ def test_fr_big_optimal_vs_scipy():
     got = costs[np.arange(n), p2o].sum()
     r, c = linear_sum_assignment(costs)
     assert got == costs[r, c].sum()  # integer costs, eps<1/n: exact
+
+
+BIG_FUZZ_CASES = [
+    # (seed, lo, hi, n, bm) — distributions the fixed-seed equivalence
+    # test does not reach.  Kernel constraints: bm a power of two and
+    # 2*bm | m (the fused halving trees + double-buffered DMA pairing).
+    (201, 5, 6, 256, 128),      # ALL costs equal: maximal tie stress on
+                                #   the fused lane-halving winner trees
+    (202, 1, 10**6, 256, 64),   # wide f32 price/profit magnitudes
+    (203, 1, 3, 384, 64),       # near-degenerate low entropy, 6 blocks
+    (204, 1, 200, 512, 256),    # 2 big blocks, fresh seed
+]
+
+
+@pytest.mark.parametrize("seed,lo,hi,n,bm", BIG_FUZZ_CASES)
+def test_fr_big_fuzz_equivalence(seed, lo, hi, n, bm):
+    """Randomized sweep of the restructured streaming kernel (hoisted
+    block predicates, carried cardinality, fused in-block top-2 and
+    lane-axis trees): bit-equivalence to the XLA rounds across uneven
+    chunk boundaries, then run to completion."""
+    rng = np.random.default_rng(seed)
+    costs = rng.integers(lo, hi, size=(n, n)).astype(np.float32)
+    vals_t = jnp.asarray(-costs.T)
+    eps = np.float32(1.0 / (n + 1))
+
+    ref = fr_init(vals_t, eps)
+    big = fr_init(vals_t, eps)
+    total = 0
+    for chunk in (5, 11, 64):
+        ref = _xla_rounds(vals_t, ref, chunk)
+        big, _ = fr_big_chunk(vals_t, big, chunk, bm=bm, interpret=True)
+        total += chunk
+        _assert_state_equal(big, ref, f"seed {seed} after {total} rounds")
+    while not bool(np.asarray(big.done)) and total < 8000:
+        ref = _xla_rounds(vals_t, ref, 400)
+        big, _ = fr_big_chunk(vals_t, big, 400, bm=bm, interpret=True)
+        total += 400
+        _assert_state_equal(big, ref, f"seed {seed} after {total} rounds")
+    assert bool(np.asarray(big.done)), f"seed {seed} unfinished at {total}"
+    assert int(np.sum(np.asarray(big.p2o) == UNASSIGNED)) == 0
