@@ -44,6 +44,10 @@ _INT_MAX = jnp.int32(UNASSIGNED)
 #: mode on the CPU backend (tests/test_fr_big.py exercises the kernel
 #: itself; this exercises the driver routing end-to-end)
 _BIG_INTERPRET_ON_CPU = False
+#: test hook — run the batched forward-round kernel
+#: (ops/pallas_dense.py) in interpret mode on the CPU backend, where it
+#: is otherwise skipped in favor of the XLA rounds
+_FORWARD_PALLAS_INTERPRET_ON_CPU = False
 #: bench hook — force big singles onto the XLA-rounds path for
 #: apples-to-apples kernel-vs-XLA comparisons
 _BIG_DISABLE = False
@@ -1041,7 +1045,8 @@ class _FlatForwardState(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iterations", "chunk", "sfoe")
+    jax.jit,
+    static_argnames=("max_iterations", "chunk", "sfoe", "interpret"),
 )
 def _batch_chunk_pallas(
     values_t,  # [B, M, N]
@@ -1051,6 +1056,7 @@ def _batch_chunk_pallas(
     max_iterations: int,
     chunk: int,
     sfoe: bool,
+    interpret: bool = False,
 ):
     """Forward-auction chunk built on the fused Pallas round kernel
     (ops/pallas_dense.py): the whole round is one VMEM-resident kernel,
@@ -1081,7 +1087,7 @@ def _batch_chunk_pallas(
         prices2, p2o_pad2, o2p2, chosen_pad, maxp_pad = (
             fused_dense_round_batch_flat(
                 vals2, s.prices2, s.p2o_pad2, s.o2p2, s.eps, s.done,
-                b, m, n,
+                b, m, n, interpret=interpret,
             )
         )
         p2o = p2o_pad2.reshape(b, 8, n)[:, 0, :]
@@ -1188,15 +1194,17 @@ def _solve_batch_dense(
     else:  # pragma: no cover
         raise ValueError(f"unknown solver {solver!r}")
 
+    on_cpu = jax.default_backend() == "cpu"
+    fwd_interp = _FORWARD_PALLAS_INTERPRET_ON_CPU and on_cpu
     use_pallas = _pallas_usable(solver, n, m, dtype) and (
-        jax.default_backend() not in ("cpu",)
+        not on_cpu or fwd_interp
     )
     rounds = 0
     while True:
         if use_pallas:
             states, alldone = _batch_chunk_pallas(
                 values_t, states, target_eps, toleration,
-                max_iterations, chunk, n != m,
+                max_iterations, chunk, n != m, interpret=fwd_interp,
             )
         else:
             states, alldone = _batch_chunk(

@@ -494,3 +494,69 @@ def test_solve_batch_auto_routes_to_fr(monkeypatch):
     sol = batch_mod.solve_batch(asym, dtype=np.float64)
     assert seen[-1] == "forward"
     assert np.all(sol.num_unassigned == 0)
+
+
+def test_forward_pallas_kernel_path_interpret(monkeypatch):
+    """The batched forward-auction Pallas path (_batch_chunk_pallas +
+    ops/pallas_dense.py) only runs on accelerator backends in
+    production; force it in interpret mode on CPU so the suite covers
+    the kernel the driver's TPU actually executes for forward batches.
+    Integer costs with eps < 1/n must be scipy-exact."""
+    from sparse_linear_assignment_tpu import batch as batch_mod
+
+    monkeypatch.setattr(
+        batch_mod, "_FORWARD_PALLAS_INTERPRET_ON_CPU", True
+    )
+    rng = np.random.default_rng(21)
+    b, n = 3, 128
+    costs = rng.integers(1, 100, size=(b, n, n)).astype(np.float64)
+    sol = batch_mod.solve_batch(
+        costs, solver="forward", dtype=np.float32, eps=1.0 / (n + 1)
+    )
+    assert int(sol.num_unassigned.sum()) == 0
+    for bi in range(b):
+        r, c = linear_sum_assignment(costs[bi])
+        want = float(costs[bi][r, c].sum())
+        assert abs(float(sol.objective[bi]) - want) < 1e-6, (
+            bi, sol.objective[bi], want,
+        )
+
+
+def test_fused_dense_round_single_matches_batch_wrapper():
+    """fused_dense_round (single-instance kernel) and
+    fused_dense_round_batch (grid-over-batch kernel at B=1) are separate
+    kernels behind the same round contract — their outputs must be
+    identical on the same state (interpret mode)."""
+    import jax.numpy as jnp
+
+    from sparse_linear_assignment_tpu.ops.pallas_dense import (
+        fused_dense_round,
+        fused_dense_round_batch,
+    )
+    from sparse_linear_assignment_tpu.solution import UNASSIGNED
+
+    rng = np.random.default_rng(17)
+    m = n = 128
+    vals_t = jnp.asarray(
+        -rng.integers(1, 50, size=(m, n)).astype(np.float32)
+    )
+    prices = jnp.zeros(m, jnp.float32)
+    p2o = jnp.full(n, jnp.int32(UNASSIGNED))
+    o2p = jnp.full(m, jnp.int32(UNASSIGNED))
+    eps = np.float32(1.0 / (n + 1))
+
+    single = fused_dense_round(
+        vals_t, prices, p2o, o2p, eps, False, interpret=True
+    )
+    batched = fused_dense_round_batch(
+        vals_t[None], prices[None], p2o[None], o2p[None],
+        jnp.full((1,), eps), jnp.zeros((1,), bool), interpret=True,
+    )
+    for got, want in zip(single, batched):
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want)[0]
+        )
+    # a first Jacobi round must assign at least one person and raise
+    # at least one price
+    assert int(np.sum(np.asarray(single[1]) != UNASSIGNED)) > 0
+    assert float(np.max(np.asarray(single[0]))) > 0.0
