@@ -48,6 +48,10 @@ _BIG_INTERPRET_ON_CPU = False
 #: (ops/pallas_dense.py) in interpret mode on the CPU backend, where it
 #: is otherwise skipped in favor of the XLA rounds
 _FORWARD_PALLAS_INTERPRET_ON_CPU = False
+#: test hook — run the fused FR fast path (ops/pallas_fr.py multi-round
+#: kernel + two-level continuation + packed readback, the driver's main
+#: batched bench path) in interpret mode on the CPU backend
+_FR_FUSED_INTERPRET_ON_CPU = False
 #: bench hook — force big singles onto the XLA-rounds path for
 #: apples-to-apples kernel-vs-XLA comparisons
 _BIG_DISABLE = False
@@ -685,13 +689,16 @@ def _solve_batch_fr(
     # docs/PERFORMANCE.md), but the streaming kernel's idle-block
     # skipping wins beyond ~1024² (measured: tie at 1024², streaming
     # 2× at 2048²), so that is the crossover.
+    fr_interp = (
+        _FR_FUSED_INTERPRET_ON_CPU and jax.default_backend() == "cpu"
+    )
     use_pallas = (
         sfoe
         and np_dtype in (np.float32, np.int32)
         and n % 128 == 0
         and m % 8 == 0
         and n * m <= 1024 * 1024
-        and jax.default_backend() not in ("cpu",)
+        and (jax.default_backend() not in ("cpu",) or fr_interp)
     )
 
     out_p2o = np.empty((b, n), np.int32)
@@ -874,7 +881,8 @@ def _solve_batch_fr(
             b, n, max_iterations
         )
         states = _fr_solve_fused(
-            values_t, states, budget, bucket, budget2, bucket2, budget3
+            values_t, states, budget, bucket, budget2, bucket2, budget3,
+            interpret=fr_interp,
         )
         rounds = budget + budget2 + budget3
         while True:
@@ -899,12 +907,14 @@ def _solve_batch_fr(
             # the undone-first bucket running on device
             if work_host is None and len(undone) <= 128:
                 states = _fr_continue_bucket(
-                    values_t, states, 128, 512, False
+                    values_t, states, 128, 512, fr_interp
                 )
                 rounds += 512
                 continue
             # rare: a hard batch — keep running fused rounds
-            states, _ = fr_chunk_pallas(values_t, states, 128)
+            states, _ = fr_chunk_pallas(
+                values_t, states, 128, interpret=fr_interp
+            )
             rounds += 128
         global LAST_TAIL_COUNT
         LAST_TAIL_COUNT = len(undone)
@@ -957,22 +967,14 @@ def _solve_batch_fr(
     undone = None
     done_mask = None
     while True:
-        # chunk schedule: the fused kernel makes per-round cost small
-        # and finished instances skip their grid step, so overshooting
-        # is cheap — run long chunks to amortize the host↔device
-        # round-trip (~30 ms through this tunnel); the XLA path keeps
-        # finer chunks (rounds there cost ~2.7 ms each at full batch)
-        if use_pallas:
-            level_chunk = 96 if rounds == 0 else 64
-        else:
-            level_chunk = chunk if cur_b >= 128 else 4 * chunk
-        if use_pallas:
-            states, _ = fr_chunk_pallas(values_t, states, level_chunk)
-        else:
-            states, _ = _batch_chunk_fr(
-                values_t, states, target_eps, toleration,
-                max_iterations, level_chunk, sfoe,
-            )
+        # chunk schedule for the XLA rounds (the fused-kernel path
+        # returned above): rounds cost ~2.7 ms each at full batch, so
+        # keep finer chunks, widening once the batch has drained
+        level_chunk = chunk if cur_b >= 128 else 4 * chunk
+        states, _ = _batch_chunk_fr(
+            values_t, states, target_eps, toleration,
+            max_iterations, level_chunk, sfoe,
+        )
         rounds += level_chunk
         # single host sync per chunk: the done vector readback
         done_mask = np.asarray(states.done)

@@ -560,3 +560,55 @@ def test_fused_dense_round_single_matches_batch_wrapper():
     # at least one price
     assert int(np.sum(np.asarray(single[1]) != UNASSIGNED)) > 0
     assert float(np.max(np.asarray(single[0]))) > 0.0
+
+
+def test_fr_fused_fast_path_interpret_host_mode(monkeypatch):
+    """The fused FR fast path (one multi-round kernel dispatch +
+    two-level continuation + packed u16 readback + native straggler
+    tail) is the driver's main batched bench path and only runs on
+    accelerator backends in production; force it in interpret mode so
+    the suite executes the whole glue chain.  Integer costs with
+    eps < 1/n must be scipy-exact."""
+    from sparse_linear_assignment_tpu import batch as batch_mod
+
+    monkeypatch.setattr(batch_mod, "_FR_FUSED_INTERPRET_ON_CPU", True)
+    rng = np.random.default_rng(41)
+    b, n = 3, 128
+    costs = rng.integers(1, 100, size=(b, n, n)).astype(np.float64)
+    sol = batch_mod.solve_batch(
+        costs, solver="fr", dtype=np.float32, eps=1.0 / (n + 1)
+    )
+    assert int(sol.num_unassigned.sum()) == 0
+    for bi in range(b):
+        r, c = linear_sum_assignment(costs[bi])
+        want = float(costs[bi][r, c].sum())
+        assert abs(float(sol.objective[bi]) - want) < 1e-6, (
+            bi, sol.objective[bi], want,
+        )
+
+
+def test_fr_fused_fast_path_interpret_device_mode(monkeypatch):
+    """Device-resident fused fast path in interpret mode: integer-
+    auction lattice, objective evaluated on device and decoded from the
+    packed double-double readback — the exact program the driver bench
+    times.  Must be scipy-exact."""
+    import jax.numpy as jnp
+
+    from sparse_linear_assignment_tpu import batch as batch_mod
+
+    monkeypatch.setattr(batch_mod, "_FR_FUSED_INTERPRET_ON_CPU", True)
+    rng = np.random.default_rng(43)
+    b, n = 3, 128
+    costs = rng.integers(1, 100, size=(b, n, n)).astype(np.float64)
+    dev = jnp.asarray(costs.astype(np.float32))
+    sol = batch_mod.solve_batch(
+        None, solver="fr", dtype=np.float32,
+        costs_device=dev, integer=True, max_cost=100,
+    )
+    assert int(sol.num_unassigned.sum()) == 0
+    for bi in range(b):
+        r, c = linear_sum_assignment(costs[bi])
+        want = float(costs[bi][r, c].sum())
+        assert abs(float(sol.objective[bi]) - want) < 1e-6, (
+            bi, sol.objective[bi], want,
+        )
