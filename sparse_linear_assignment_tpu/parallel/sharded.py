@@ -47,6 +47,12 @@ from ..utils.trace import trace_host, trace_round
 
 _INT_MAX = jnp.int32(UNASSIGNED)
 
+#: test hook — run the per-chip fused FR kernel inside the sharded
+#: batched cores in interpret mode on CPU meshes, where the kernel
+#: variant (the real multi-chip program) is otherwise skipped for the
+#: XLA rounds
+_SHARDED_KERNEL_INTERPRET_ON_CPU = False
+
 
 def _round_body(
     row_cols, row_vals, row_mask, col_persons, col_mask, eps, threshold, state
@@ -891,7 +897,8 @@ def solve_fr_dense_sharded(
 # ----------------------------------------------------------------------
 def _fr_batch_chunk_local(values_t, states, target_eps, max_iterations,
                           chunk: int, use_kernel: bool,
-                          sched: tuple | None = None):
+                          sched: tuple | None = None,
+                          interpret: bool = False):
     """Per-device chunk of forward-reverse rounds over the local batch
     slice (instances are independent — the only collective is the
     replicated all-done flag).  ``use_kernel`` runs the fused VMEM-
@@ -911,9 +918,13 @@ def _fr_batch_chunk_local(values_t, states, target_eps, max_iterations,
         if sched is not None:
             from ..batch import _fr_solve_fused
 
-            states = _fr_solve_fused(values_t, states, *sched)
+            states = _fr_solve_fused(
+                values_t, states, *sched, interpret=interpret
+            )
         else:
-            states, _ = fr_chunk_pallas(values_t, states, chunk)
+            states, _ = fr_chunk_pallas(
+                values_t, states, chunk, interpret=interpret
+            )
     else:
         from ..ops.fr_dense import fr_round
 
@@ -940,7 +951,8 @@ def _fr_batch_chunk_local(values_t, states, target_eps, max_iterations,
 @functools.lru_cache(maxsize=8)
 def sharded_fr_batch_core(mesh: Mesh, chunk: int = 64,
                           use_kernel: bool = False,
-                          sched: tuple | None = None):
+                          sched: tuple | None = None,
+                          interpret: bool = False):
     """Jitted multi-device batched forward-reverse chunk program: the
     batch dimension is sharded across the mesh, everything else is
     local.  This is the scaling dimension for batched throughput — an
@@ -952,7 +964,7 @@ def sharded_fr_batch_core(mesh: Mesh, chunk: int = 64,
     fn = jax.shard_map(
         functools.partial(
             _fr_batch_chunk_local, chunk=chunk, use_kernel=use_kernel,
-            sched=sched,
+            sched=sched, interpret=interpret,
         ),
         mesh=mesh,
         # a single spec acts as a pytree prefix for the FRState arg
@@ -1081,12 +1093,16 @@ def solve_batch_sharded(
 
     # same per-chip program as the single-chip fast path when the shape
     # fits the VMEM-resident kernel (batch._solve_batch_fr's use_pallas)
+    kern_interp = (
+        _SHARDED_KERNEL_INTERPRET_ON_CPU
+        and jax.default_backend() == "cpu"
+    )
     use_kernel = bool(
         np.dtype(dtype) in (np.float32, np.int32)
         and n % 128 == 0
         and m % 8 == 0
         and n * m <= 1024 * 1024
-        and jax.default_backend() not in ("cpu",)
+        and (jax.default_backend() not in ("cpu",) or kern_interp)
     )
     sched = None
     if use_kernel:
@@ -1098,11 +1114,13 @@ def solve_batch_sharded(
 
         sched = _fr_fused_schedule(b_pad // d, n, max_iterations)
         chunk = 128
-    core = sharded_fr_batch_core(mesh, chunk, use_kernel)
+    core = sharded_fr_batch_core(mesh, chunk, use_kernel,
+                                 interpret=kern_interp)
     maxit = jnp.asarray(np.int32(max_iterations))
     rounds = 0
     if sched is not None:
-        fused_core = sharded_fr_batch_core(mesh, chunk, True, sched)
+        fused_core = sharded_fr_batch_core(mesh, chunk, True, sched,
+                                           interpret=kern_interp)
         states, undone = fused_core(values_t, states, target_eps, maxit)
         rounds += sched[0] + sched[2] + sched[4]
     else:
@@ -1211,18 +1229,24 @@ def solve_batch_sharded_stream(
     axis = mesh.axis_names[0]
     bsh = NamedSharding(mesh, P(axis))
     negate = not maximize
+    kern_interp = (
+        _SHARDED_KERNEL_INTERPRET_ON_CPU
+        and jax.default_backend() == "cpu"
+    )
     use_kernel = bool(
         np.dtype(dtype) in (np.float32, np.int32)
         and n % 128 == 0
         and m % 8 == 0
         and n * m <= 1024 * 1024
-        and jax.default_backend() not in ("cpu",)
+        and (jax.default_backend() not in ("cpu",) or kern_interp)
     )
     chunk = 128
-    core = sharded_fr_batch_core(mesh, chunk, use_kernel)
+    core = sharded_fr_batch_core(mesh, chunk, use_kernel,
+                                 interpret=kern_interp)
     if use_kernel:
         sched = _fr_fused_schedule(b_pad // d, n, max_iterations)
-        fused_core = sharded_fr_batch_core(mesh, chunk, True, sched)
+        fused_core = sharded_fr_batch_core(mesh, chunk, True, sched,
+                                           interpret=kern_interp)
     maxit = jnp.asarray(np.int32(max_iterations))
     stage = _staging_core(bsh, negate, b_pad, int_scale or 0)
 

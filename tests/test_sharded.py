@@ -337,3 +337,71 @@ def test_sharded_batched_stream_validation():
             [jnp.zeros((2, 16, 16), np.float32),
              jnp.zeros((4, 16, 16), np.float32)], mesh
         )
+
+
+@pytest.mark.parametrize("integer", [False, True])
+def test_sharded_batched_kernel_variant_interpret(monkeypatch, integer):
+    """The kernel variant of the sharded batched core (the per-chip
+    fused FR program a real multi-chip mesh runs) is skipped on CPU
+    meshes for the XLA rounds; force it in interpret mode so the suite
+    executes the actual multi-chip program — fused schedule inside
+    shard_map, packed readback — on 8 virtual devices."""
+    from sparse_linear_assignment_tpu.parallel import (
+        sharded as sharded_mod,
+    )
+    from sparse_linear_assignment_tpu.parallel import solve_batch_sharded
+
+    monkeypatch.setattr(
+        sharded_mod, "_SHARDED_KERNEL_INTERPRET_ON_CPU", True
+    )
+    rng = np.random.default_rng(61)
+    b, n = 9, 128  # pads to 16 over 8 devices: pad-copy results dropped
+    costs = rng.integers(1, 100, size=(b, n, n)).astype(np.float64)
+    mesh = make_mesh(8)
+    sol = solve_batch_sharded(
+        costs, mesh, eps=1.0 / (n + 1),
+        integer=integer, max_cost=100 if integer else None,
+    )
+    assert int(np.asarray(sol.num_unassigned).sum()) == 0
+    for bi in (0, 4, 8):
+        r, c = linear_sum_assignment(costs[bi])
+        want = float(costs[bi][r, c].sum())
+        assert abs(float(sol.objective[bi]) - want) < 1e-6, (
+            bi, sol.objective[bi], want,
+        )
+
+
+def test_sharded_stream_kernel_variant_interpret(monkeypatch):
+    """Streamed sharded mode with the kernel variant forced (interpret):
+    the device-resident staging + fused schedule + packed objective
+    readback chain of the projected multi-chip north-star path."""
+    import jax.numpy as jnp
+
+    from sparse_linear_assignment_tpu.parallel import (
+        sharded as sharded_mod,
+    )
+    from sparse_linear_assignment_tpu.parallel import (
+        solve_batch_sharded_stream,
+    )
+
+    monkeypatch.setattr(
+        sharded_mod, "_SHARDED_KERNEL_INTERPRET_ON_CPU", True
+    )
+    rng = np.random.default_rng(63)
+    n = 128
+    batches = [
+        rng.integers(1, 100, size=(8, n, n)).astype(np.float64)
+        for _ in range(2)
+    ]
+    devs = [jnp.asarray(bt.astype(np.float32)) for bt in batches]
+    mesh = make_mesh(8)
+    sols = solve_batch_sharded_stream(
+        devs, mesh, integer=True, max_cost=100
+    )
+    assert len(sols) == 2
+    for bt, sol in zip(batches, sols):
+        assert int(np.asarray(sol.num_unassigned).sum()) == 0
+        for bi in (0, 7):
+            r, c = linear_sum_assignment(bt[bi])
+            want = float(bt[bi][r, c].sum())
+            assert abs(float(sol.objective[bi]) - want) < 1e-6
