@@ -1,0 +1,160 @@
+"""Randomized cross-engine consistency sweep (CPU, bounded wall clock).
+
+Solves a stream of random small instances through every public engine
+combination and checks each result against the scipy oracle (or the
+infeasibility contract).  Run when a structural change lands to flush
+out cross-engine disagreements the fixed-seed suite can miss.
+
+Usage: python experiments/exp_consistency_sweep.py [minutes]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # outage-safe
+
+from scipy.optimize import linear_sum_assignment  # noqa: E402
+
+from sparse_linear_assignment_tpu import (  # noqa: E402
+    ForwardAuctionSolver,
+    KhoslaSolver,
+)
+from sparse_linear_assignment_tpu.generators import (  # noqa: E402
+    dense_cost_matrix,
+    gen_ksparse_uniform,
+    gen_symmetric_input,
+)
+
+BIG = 1e9
+
+
+def oracle(solver, maximize):
+    mat = dense_cost_matrix(solver, big=BIG if not maximize else -BIG,
+                            original_units=True)
+    r, c = linear_sum_assignment(mat, maximize=maximize)
+    picked = mat[r, c]
+    if np.any(np.abs(picked) >= BIG / 2):
+        return None  # oracle forced a missing arc: not perfectly matchable
+    return float(picked.sum())
+
+
+def check(tag, solver, solution, maximize, want, n):
+    got = solver.get_objective(solution)
+    eps = solution.eps if np.isfinite(solution.eps) else 0.0
+    if want is None:
+        # infeasible as a perfect matching: engines must report >= 1
+        # unassigned (Khosla drop rule / Forward max_iterations)
+        assert solution.num_unassigned >= 1, (
+            tag, "expected unassigned", solution.num_unassigned)
+        return
+    assert solution.num_unassigned == 0, (tag, solution.num_unassigned)
+    # ε-CS slack: a minimize solve may be up to n·eps ABOVE the optimum
+    # (and never below it); a maximize solve up to n·eps BELOW
+    if maximize:
+        lo, hi = want - n * eps - 1e-5, want + 1e-5
+    else:
+        lo, hi = want - 1e-5, want + n * eps + 1e-5
+    assert lo <= got <= hi, (tag, got, want, eps)
+
+
+def khosla_cases(rng, case_seed):
+    n = int(rng.integers(8, 96))
+    asym = bool(rng.integers(0, 2))
+    m = n + int(rng.integers(1, 40)) if asym else n
+    k = int(rng.integers(2, min(9, m)))
+    maximize = bool(rng.integers(0, 2))
+    f32 = bool(rng.integers(0, 2))
+    solver, solution = KhoslaSolver.new(n, m, n * (k + 8))
+    if asym or bool(rng.integers(0, 2)):
+        gen_ksparse_uniform(solver, case_seed, n, m, k, max_value=50.0)
+    else:
+        gen_symmetric_input(solver, case_seed, n, min(1.0, 3.0 * k / n),
+                            1.0, 50.0)
+    if f32:
+        solver.dtype = np.dtype(np.float32)
+    want = oracle(solver, maximize)
+    engines = [("native", dict(engine="native")),
+               ("device", dict(engine="device")),
+               ("auto", dict())]
+    if not asym:
+        engines += [("scaled", dict(scale_eps=True)),
+                    ("hybrid", dict(scale_eps=True, hybrid=True))]
+    for name, kw in engines:
+        solver.solve(solution, maximize, **kw)
+        check(f"khosla/{name}/s{case_seed}", solver, solution,
+              maximize, want, n)
+    # warm-start reuse on symmetric instances
+    if not asym and want is not None:
+        warm = solver.prices.copy()
+        solver.solve(solution, maximize, start_prices=warm)
+        check(f"khosla/warm/s{case_seed}", solver, solution,
+              maximize, want, n)
+    return 1
+
+
+def forward_cases(rng, case_seed):
+    n = int(rng.integers(8, 96))
+    k = int(rng.integers(2, min(9, n)))
+    maximize = bool(rng.integers(0, 2))
+    solver, solution = ForwardAuctionSolver.new(n, n, n * (k + 8))
+    gen_ksparse_uniform(solver, case_seed, n, n, k, max_value=50.0)
+    want = oracle(solver, maximize)
+    solver.solve(solution, maximize)
+    if want is None:
+        assert solution.num_unassigned >= 1 or not solver.optimal_soln_found
+    else:
+        check(f"forward/default/s{case_seed}", solver, solution,
+              maximize, want, n)
+        solver.solve_with_params(solution, maximize, eps=1.0 / (2 * n))
+        check(f"forward/params/s{case_seed}", solver, solution,
+              maximize, want, n)
+    return 1
+
+
+def batch_cases(rng, case_seed):
+    from sparse_linear_assignment_tpu.batch import solve_batch
+
+    b = int(rng.integers(2, 5))
+    n = 128
+    maximize = bool(rng.integers(0, 2))
+    costs = rng.integers(1, 200, size=(b, n, n)).astype(np.float64)
+    sols = {}
+    sols["fr"] = solve_batch(costs, solver="fr", dtype=np.float32,
+                             eps=1.0 / (n + 1), maximize=maximize)
+    sols["forward"] = solve_batch(costs, solver="forward",
+                                  dtype=np.float32, eps=1.0 / (n + 1),
+                                  maximize=maximize)
+    for name, sol in sols.items():
+        assert int(sol.num_unassigned.sum()) == 0, (name, case_seed)
+        for bi in range(b):
+            r, c = linear_sum_assignment(costs[bi], maximize=maximize)
+            want = float(costs[bi][r, c].sum())
+            got = float(sol.objective[bi])
+            assert abs(got - want) < 1e-6, (name, case_seed, bi, got, want)
+    return 1
+
+
+def main():
+    minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
+    deadline = time.time() + 60 * minutes
+    rng = np.random.default_rng(12345)
+    counts = {"khosla": 0, "forward": 0, "batch": 0}
+    case_seed = 0
+    while time.time() < deadline:
+        case_seed += 1
+        counts["khosla"] += khosla_cases(rng, case_seed)
+        counts["forward"] += forward_cases(rng, case_seed)
+        if case_seed % 8 == 0:
+            counts["batch"] += batch_cases(rng, case_seed)
+        if case_seed % 25 == 0:
+            print(f"[{time.strftime('%H:%M:%S')}] cases: {counts}",
+                  flush=True)
+    print(f"SWEEP CLEAN: {counts} (every engine vs scipy oracle)")
+
+
+if __name__ == "__main__":
+    main()

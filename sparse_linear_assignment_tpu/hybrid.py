@@ -129,6 +129,7 @@ def khosla_solve_hybrid(
     chunk: int = 4,
     start_prices=None,
     tpu_phases: Optional[int] = 1,
+    threshold_pad: float = 0.0,
 ):
     """Solve with TPU bulk rounds + native chain tails.
 
@@ -190,7 +191,10 @@ def khosla_solve_hybrid(
     np_dtype = np.dtype(dtype)
 
     for phase_i, phase_eps in enumerate(ladder):
-        threshold = (m / 2.0) * (span + phase_eps)
+        # threshold_pad: warm-started (normalized) prices shift the
+        # reachable price range by their spread; the cold-start drop
+        # bound must shift with it (ksparse.py warm-start notes)
+        threshold = (m / 2.0) * (span + phase_eps) + threshold_pad
         if phase_i > 0:
             # new phase: keep prices, reset assignments (symmetric.rs:290-324)
             p2o.fill(-1)

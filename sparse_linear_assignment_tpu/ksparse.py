@@ -225,6 +225,23 @@ class KhoslaSolver(AuctionSolver):
                 start_prices = None
             else:
                 compact = compact or not hybrid  # while_loop has no warm entry
+                # Price shifts are invariant: profit_i(j) = v_ij − p_j,
+                # so subtracting a constant from every price raises all
+                # profits uniformly — selection, bids, and the ε-CS
+                # certificate are unchanged.  Normalize to min 0:
+                # ε-scaled solves leave uniformly INFLATED price levels
+                # that would otherwise trip the finite-termination drop
+                # threshold (`ksparse.rs:181` is a cold-start bound) and
+                # spuriously drop persons on feasible instances
+                # (regression: tests/test_warmstart.py warm-after-scaled).
+                start_prices = start_prices - float(start_prices.min())
+                # The residual spread still shifts the reachable price
+                # range upward; extend the drop threshold by it so a
+                # warm start can never drop a person a cold start would
+                # have assigned.  Termination stays finite — the
+                # threshold remains bounded.
+                warm_pad = float(start_prices.max())
+                price_threshold += warm_pad
 
         if hybrid:
             from .hybrid import khosla_solve_hybrid
@@ -238,6 +255,10 @@ class KhoslaSolver(AuctionSolver):
                     self.column_indices, values, problem,
                     eps, w_min, w_max, scale=scale_eps,
                     start_prices=start_prices,
+                    threshold_pad=(
+                        0.0 if start_prices is None
+                        else float(start_prices.max())
+                    ),
                 )
             )
             self.prices = prices
@@ -252,6 +273,10 @@ class KhoslaSolver(AuctionSolver):
             state, nits = khosla_solve_scaled(
                 problem, eps, w_min, w_max, max_rounds=max_rounds,
                 start_prices=start_prices,
+                threshold_pad=(
+                    0.0 if start_prices is None
+                    else float(start_prices.max())
+                ),
             )
             prices, p2o, o2p = state.prices, state.p2o, state.o2p
             num_unassigned = int(

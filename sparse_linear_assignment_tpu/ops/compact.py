@@ -402,6 +402,7 @@ def khosla_solve_scaled(
     chunk: int = 64,
     max_rounds: int = 10_000_000,
     start_prices=None,
+    threshold_pad: float = 0.0,
 ):
     """ε-scaling ladder around the slot-list Khosla solve (extension).
 
@@ -453,7 +454,10 @@ def khosla_solve_scaled(
         )
     total_rounds = 0
     for phase_i, phase_eps in enumerate(ladder):
-        threshold = (m / 2.0) * (span + phase_eps)
+        # threshold_pad: warm-started (normalized) prices shift the
+        # reachable price range by their spread; the cold-start drop
+        # bound must shift with it (ksparse.py warm-start notes)
+        threshold = (m / 2.0) * (span + phase_eps) + threshold_pad
         if phase_i > 0:
             # keep prices, reset assignments (fresh phase at lower eps)
             state = LState(

@@ -12,6 +12,7 @@ solvers ignore them (see test_khosla_warmstart_asymmetric_ignored).
 """
 
 import numpy as np
+import pytest
 from scipy.optimize import linear_sum_assignment
 
 from sparse_linear_assignment_tpu import ForwardAuctionSolver, KhoslaSolver
@@ -119,3 +120,35 @@ def test_khosla_warmstart_asymmetric_ignored():
     assert abs(solver.get_objective(solution) - obj_cold) <= (
         2 * 50 * solution.eps + 1e-9
     )
+
+
+@pytest.mark.parametrize("rekw", [
+    {},                                   # plain device solve
+    {"scale_eps": True},                  # ε-scaled
+    {"scale_eps": True, "hybrid": True},  # hybrid
+])
+def test_warm_start_after_scaled_solve_stays_complete(rekw):
+    """Regression: ε-scaled solves leave uniformly inflated price
+    levels; re-solving warm used to trip the cold-start drop threshold
+    `(M/2)(span+eps)` and spuriously drop persons on a feasible
+    symmetric instance (found by experiments/exp_consistency_sweep.py).
+    Warm prices are now normalized (shift-invariant) and the threshold
+    extended by the residual spread, so every warm re-solve must stay
+    complete and n·ε-optimal."""
+    from sparse_linear_assignment_tpu.generators import (
+        gen_ksparse_uniform,
+    )
+
+    n = m = 10
+    solver, solution = KhoslaSolver.new(n, m, n * 10)
+    gen_ksparse_uniform(solver, 7, n, m, 2, max_value=50.0)
+    solver.solve(solution, False, scale_eps=True, hybrid=True)
+    cold_obj = solver.get_objective(solution)
+    warm = solver.prices.copy()
+    # the failing precondition: inflated warm level above the cold
+    # drop threshold (max price 250.7 vs threshold ~245.7 on this seed)
+    assert warm.max() > (m / 2.0) * (49.0 + solution.eps) * 0.99
+    solver.solve(solution, False, start_prices=warm, **rekw)
+    assert solution.num_unassigned == 0
+    got = solver.get_objective(solution)
+    assert abs(got - cold_obj) <= n * solution.eps + 1e-9, (got, cold_obj)
