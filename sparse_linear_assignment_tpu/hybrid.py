@@ -191,10 +191,16 @@ def khosla_solve_hybrid(
     np_dtype = np.dtype(dtype)
 
     for phase_i, phase_eps in enumerate(ladder):
-        # threshold_pad: warm-started (normalized) prices shift the
-        # reachable price range by their spread; the cold-start drop
-        # bound must shift with it (ksparse.py warm-start notes)
-        threshold = (m / 2.0) * (span + phase_eps) + threshold_pad
+        # Shift the cold-start drop bound by each phase's start price
+        # level — carried prices from a larger-ε phase can legitimately
+        # exceed the next phase's threshold on feasible instances and
+        # would spuriously drop matchable persons (see the ladder note
+        # in ops/compact.py:khosla_solve_scaled; prices are host-side
+        # here so the pad is free).
+        pad = threshold_pad if phase_i == 0 else max(
+            0.0, float(prices64.max())
+        )
+        threshold = (m / 2.0) * (span + phase_eps) + pad
         if phase_i > 0:
             # new phase: keep prices, reset assignments (symmetric.rs:290-324)
             p2o.fill(-1)

@@ -454,10 +454,21 @@ def khosla_solve_scaled(
         )
     total_rounds = 0
     for phase_i, phase_eps in enumerate(ladder):
-        # threshold_pad: warm-started (normalized) prices shift the
-        # reachable price range by their spread; the cold-start drop
-        # bound must shift with it (ksparse.py warm-start notes)
-        threshold = (m / 2.0) * (span + phase_eps) + threshold_pad
+        # The drop bound (m/2)(span+eps) is a COLD-start bound: on
+        # feasible instances prices can legitimately converge anywhere
+        # below a phase's threshold, which EXCEEDS the next (smaller-ε)
+        # phase's threshold — re-bidding against those carried prices
+        # would spuriously drop matchable persons (measured: wide-span
+        # small instances, tests/test_warmstart.py ladder regression).
+        # Shift each phase's bound by its start price level: phase 0
+        # uses the caller's warm-price pad, later phases the carried
+        # maximum (one scalar readback per phase, ~free next to the
+        # phase's own done-check syncs).  Thresholds stay finite, so
+        # infeasible-instance termination is unaffected.
+        pad = threshold_pad if phase_i == 0 else max(
+            0.0, float(jnp.max(state.prices))
+        )
+        threshold = (m / 2.0) * (span + phase_eps) + pad
         if phase_i > 0:
             # keep prices, reset assignments (fresh phase at lower eps)
             state = LState(

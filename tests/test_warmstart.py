@@ -152,3 +152,29 @@ def test_warm_start_after_scaled_solve_stays_complete(rekw):
     assert solution.num_unassigned == 0
     got = solver.get_objective(solution)
     assert abs(got - cold_obj) <= n * solution.eps + 1e-9, (got, cold_obj)
+
+
+@pytest.mark.parametrize("n,seed", [
+    (10, 269786713), (6, 394149180), (9, 485835358),
+])
+@pytest.mark.parametrize("hybrid", [False, True])
+def test_ladder_phase_boundary_never_drops_feasible(n, seed, hybrid):
+    """Regression: the Khosla ε-ladder carried prices from a larger-ε
+    phase into the next phase's SMALLER cold-start drop threshold;
+    wide-span small feasible instances then spuriously dropped persons
+    (3/36 random hits in the hunt that found this).  Each phase's
+    threshold is now shifted by its start price level; these pinned
+    cases must complete at the exact oracle optimum."""
+    from sparse_linear_assignment_tpu.generators import (
+        gen_ksparse_uniform,
+    )
+
+    solver, solution = KhoslaSolver.new(n, n, n * 10)
+    gen_ksparse_uniform(solver, seed, n, n, 2, max_value=1000.0)
+    mat = dense_cost_matrix(solver, big=1e9, original_units=True)
+    r, c = linear_sum_assignment(mat)
+    want = float(mat[r, c].sum())
+    solver.solve(solution, False, scale_eps=True, hybrid=hybrid)
+    assert solution.num_unassigned == 0
+    got = solver.get_objective(solution)
+    assert want - 1e-9 <= got <= want + n * solution.eps + 1e-9, (got, want)
