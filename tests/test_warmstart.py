@@ -178,3 +178,10 @@ def test_ladder_phase_boundary_never_drops_feasible(n, seed, hybrid):
     assert solution.num_unassigned == 0
     got = solver.get_objective(solution)
     assert want - 1e-9 <= got <= want + n * solution.eps + 1e-9, (got, want)
+    # the native eps-ladder (the auto-router's default for large
+    # symmetric instances) shares the hybrid driver and must inherit
+    # the per-phase threshold shift
+    solver._solve_native_ladder(solution, False, None)
+    assert solution.num_unassigned == 0
+    got = solver.get_objective(solution)
+    assert want - 1e-9 <= got <= want + n * solution.eps + 1e-9, (got, want)
