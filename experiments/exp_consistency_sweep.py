@@ -128,6 +128,9 @@ def batch_cases(rng, case_seed):
     sols["forward"] = solve_batch(costs, solver="forward",
                                   dtype=np.float32, eps=1.0 / (n + 1),
                                   maximize=maximize)
+    sols["khosla"] = solve_batch(costs, solver="khosla",
+                                 dtype=np.float32, eps=1.0 / (n + 1),
+                                 maximize=maximize)
     for name, sol in sols.items():
         assert int(sol.num_unassigned.sum()) == 0, (name, case_seed)
         for bi in range(b):
@@ -138,11 +141,47 @@ def batch_cases(rng, case_seed):
     return 1
 
 
+def batch_sparse_cases(rng, case_seed):
+    """Batched k-sparse Khosla (the reference's own domain, vmapped) vs
+    the densified scipy oracle, feasible + infeasible members mixed."""
+    from sparse_linear_assignment_tpu.batch import solve_batch_sparse
+
+    b = int(rng.integers(2, 5))
+    n = int(rng.integers(8, 48))
+    m = n + int(rng.integers(0, 16))
+    k = int(rng.integers(2, 6))
+    cols = np.full((b, n, k), -1, np.int64)
+    vals = np.zeros((b, n, k), np.float64)
+    for bi in range(b):
+        for i in range(n):
+            deg = int(rng.integers(1, k + 1))
+            cols[bi, i, :deg] = rng.choice(m, size=deg, replace=False)
+            vals[bi, i, :deg] = rng.uniform(1.0, 50.0, size=deg)
+    sol = solve_batch_sparse(cols, vals, m, eps=0.5 / m)
+    for bi in range(b):
+        dense = np.full((n, m), BIG)
+        for i in range(n):
+            live = cols[bi, i] >= 0
+            dense[i, cols[bi, i][live]] = vals[bi, i][live]
+        r, c = linear_sum_assignment(dense)
+        feasible = not np.any(dense[r, c] >= BIG / 2)
+        unass = int(sol.num_unassigned[bi])
+        if feasible:
+            assert unass == 0, (case_seed, bi, unass)
+            want = float(dense[r, c].sum())
+            got = float(sol.objective[bi])
+            assert want - 1e-6 <= got <= want + n * 0.5 / m + 1e-6, (
+                case_seed, bi, got, want)
+        else:
+            assert unass >= 1, (case_seed, bi)
+    return 1
+
+
 def main():
     minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
     deadline = time.time() + 60 * minutes
     rng = np.random.default_rng(12345)
-    counts = {"khosla": 0, "forward": 0, "batch": 0}
+    counts = {"khosla": 0, "forward": 0, "batch": 0, "sparse": 0}
     case_seed = 0
     while time.time() < deadline:
         case_seed += 1
@@ -150,6 +189,8 @@ def main():
         counts["forward"] += forward_cases(rng, case_seed)
         if case_seed % 8 == 0:
             counts["batch"] += batch_cases(rng, case_seed)
+        if case_seed % 4 == 0:
+            counts["sparse"] += batch_sparse_cases(rng, case_seed)
         if case_seed % 25 == 0:
             print(f"[{time.strftime('%H:%M:%S')}] cases: {counts}",
                   flush=True)
