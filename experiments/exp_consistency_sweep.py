@@ -5,13 +5,21 @@ combination and checks each result against the scipy oracle (or the
 infeasibility contract).  Run when a structural change lands to flush
 out cross-engine disagreements the fixed-seed suite can miss.
 
-Usage: python experiments/exp_consistency_sweep.py [minutes]
+Usage: python experiments/exp_consistency_sweep.py [minutes] [--sharded]
+(--sharded adds the 8-virtual-device mesh engines to the rotation)
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+if "--sharded" in sys.argv:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
 
 import jax
 
@@ -177,11 +185,67 @@ def batch_sparse_cases(rng, case_seed):
     return 1
 
 
+def sharded_cases(rng, case_seed, mesh):
+    """Sharded engines on the virtual mesh: khosla (person-sharded),
+    data-parallel batched FR, object-sharded dense FR single."""
+    from sparse_linear_assignment_tpu.parallel import (
+        solve_batch_sharded,
+        solve_fr_dense_sharded,
+        solve_sharded_khosla,
+    )
+
+    n = int(rng.integers(16, 80))
+    m = n + int(rng.integers(0, 40))
+    k = int(rng.integers(2, 7))
+    seed = int(rng.integers(0, 10**9))
+    solver, _ = KhoslaSolver.new(n, m, n * (k + 8))
+    gen_ksparse_uniform(solver, seed, n, m, k, max_value=50.0)
+    mat = dense_cost_matrix(solver, big=BIG, original_units=True)
+    r, c = linear_sum_assignment(mat)
+    feasible = not np.any(mat[r, c] >= BIG / 2)
+    sol, _nits = solve_sharded_khosla(solver, mesh)
+    if feasible:
+        assert sol.num_unassigned == 0, ("sh-khosla", seed)
+        got = solver.get_objective(sol)
+        want = float(mat[r, c].sum())
+        assert want - 1e-9 <= got <= want + n * sol.eps + 1e-9, (
+            seed, got, want)
+    else:
+        assert sol.num_unassigned >= 1, ("sh-khosla-inf", seed)
+
+    b = int(rng.integers(2, 12))
+    nb = 128
+    costs = rng.integers(1, 200, size=(b, nb, nb)).astype(np.float64)
+    bs = solve_batch_sharded(costs, mesh, eps=1.0 / (nb + 1))
+    assert int(np.asarray(bs.num_unassigned).sum()) == 0, ("sh-batch",
+                                                           case_seed)
+    bi = int(rng.integers(0, b))
+    r, c = linear_sum_assignment(costs[bi])
+    assert abs(float(bs.objective[bi])
+               - float(costs[bi][r, c].sum())) < 1e-6
+
+    nd = int(rng.integers(3, 10)) * 8
+    dcosts = rng.integers(1, 100, size=(nd, nd)).astype(np.float64)
+    _p2o, _o2p, unass, _dn, obj = solve_fr_dense_sharded(
+        dcosts, mesh, chunk=16)
+    assert unass == 0
+    r, c = linear_sum_assignment(dcosts)
+    assert abs(obj - float(dcosts[r, c].sum())) <= 1.0 + 1e-6
+    return 1
+
+
 def main():
-    minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
+    args = [a for a in sys.argv[1:] if a != "--sharded"]
+    minutes = float(args[0]) if args else 10.0
+    mesh = None
+    if "--sharded" in sys.argv:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()), ("shard",))
     deadline = time.time() + 60 * minutes
     rng = np.random.default_rng(12345)
-    counts = {"khosla": 0, "forward": 0, "batch": 0, "sparse": 0}
+    counts = {"khosla": 0, "forward": 0, "batch": 0, "sparse": 0,
+              "sharded": 0}
     case_seed = 0
     while time.time() < deadline:
         case_seed += 1
@@ -191,6 +255,8 @@ def main():
             counts["batch"] += batch_cases(rng, case_seed)
         if case_seed % 4 == 0:
             counts["sparse"] += batch_sparse_cases(rng, case_seed)
+        if mesh is not None:
+            counts["sharded"] += sharded_cases(rng, case_seed, mesh)
         if case_seed % 25 == 0:
             print(f"[{time.strftime('%H:%M:%S')}] cases: {counts}",
                   flush=True)
