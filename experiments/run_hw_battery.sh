@@ -16,6 +16,7 @@
 # records FAIL and continues with the next independent step.
 set -u
 cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 mkdir -p /tmp/hw_battery
 echo "$(date +%H:%M:%S) battery start" >> /tmp/hw_battery/STATUS
 

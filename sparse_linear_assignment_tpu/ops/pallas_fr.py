@@ -76,9 +76,10 @@ def _t(x):
     return jnp.swapaxes(x, 0, 1)
 
 
-def _top2_rows(key, sent):
-    """Fused top-2 over axis 0 by pairwise halving: ONE depth-log2(M)
-    dependency chain returning (best_key, second_key) ``[1, N]``.
+def _top2_rows(key, sent, tail=8):
+    """Fused top-2 over axis 0 by pairwise halving: ONE depth-log2(M/8)
+    dependency chain + a narrow one-vreg tail, returning
+    (best_key, second_key) ``[1, N]``.
 
     Replaces the serial best-tree -> sel-mask -> second-tree pair (two
     dependent reductions, ~16 serial shuffle stages) with a single tree
@@ -88,11 +89,20 @@ def _top2_rows(key, sent):
     keys are unique per position, so ``second_key``'s value field is
     exactly the max over non-argmax positions — bit-identical to the
     masked second tree.  Requires M to be a power of two (the hot 256²
-    path; callers fall back otherwise)."""
+    path; callers fall back otherwise).
+
+    Halving STOPS at ``tail`` = 8 sublanes (one vreg row): sub-vreg
+    strided slices (sublane offset not a multiple of 8) pass interpret
+    mode but abort Mosaic's apply-vector-layout pass on hardware
+    (``Array::Slice`` limit check — measured 2026-08-18, hw battery
+    smoke).  The [tail, N] remainder finishes with narrow masked trees;
+    key uniqueness makes the value-equality mask select exactly the
+    argmax slot, so the result is bit-identical to halving all the way
+    down."""
     m = key.shape[0]
     b = key
     s = None
-    while m > 1:
+    while m > tail:
         m //= 2
         b1, b2 = b[:m], b[m:]
         lo = jnp.minimum(b1, b2)
@@ -101,12 +111,17 @@ def _top2_rows(key, sent):
         else:
             s = jnp.maximum(lo, jnp.maximum(s[:m], s[m:]))
         b = jnp.maximum(b1, b2)
-    if s is None:  # M == 1: no second position
-        s = jnp.full_like(b, sent)
-    return b, s
+    best = jnp.max(b, axis=0, keepdims=True)
+    # each slot of b is the max key of a disjoint subtree and keys are
+    # globally unique, so exactly one slot equals best per column
+    second = jnp.max(jnp.where(b == best, sent, b), axis=0,
+                     keepdims=True)
+    if s is not None:
+        second = jnp.maximum(second, jnp.max(s, axis=0, keepdims=True))
+    return best, second
 
 
-def _top2_rows_f32(profit, j_iota, neg_inf):
+def _top2_rows_f32(profit, j_iota, neg_inf, tail=8):
     """Float-path analogue of ``_top2_rows``: one pairwise-halving tree
     over axis 0 carrying (best, argbest, second), replacing THREE serial
     reductions (best max-tree -> is_best mask -> argbest min-tree ->
@@ -116,14 +131,37 @@ def _top2_rows_f32(profit, j_iota, neg_inf):
     half's carry already holds its smallest argmax).  ``second`` is the
     max over non-argbest *positions*, identical to the masked tree:
     on a tie the other best position's value lands in ``second`` via
-    ``min(b1, b2)``.  Requires a power-of-two row count."""
+    ``min(b1, b2)``.  Requires a power-of-two row count.
+
+    As in ``_top2_rows``, halving stops at the 8-sublane (one-vreg)
+    tail — sub-vreg strided slices abort Mosaic's layout pass on
+    hardware — and finishes with the same narrow masked trees
+    ``_top2_lanes`` uses at its 128-lane boundary: argbest = smallest
+    carried index among tied slots; second = max of (non-selected
+    slots' bests, the selected slot's carried second), which covers
+    exactly all positions except the global argbest."""
     m = profit.shape[0]
+    ncols = profit.shape[1]
     b, bj = profit, j_iota
     s = None
-    while m > 1:
+    first = True
+    while m > tail:
         m //= 2
         b1, b2 = b[:m], b[m:]
-        j1, j2 = bj[:m], bj[m:]
+        if first:
+            # NEVER slice the raw iota: broadcasted_iota lowers to a
+            # lane-replicated vreg layout and Mosaic's
+            # vector_extract_strided_slice_rule aborts on replicated
+            # operands (hw smoke, 2026-08-18).  The first stage's index
+            # halves are fresh iotas (j_iota must be the raw axis-0
+            # iota — both call sites pass exactly that); later stages'
+            # carried indices come out of a `where` and are
+            # materialized, so slicing them is fine.
+            j1 = lax.broadcasted_iota(jnp.int32, (m, ncols), 0)
+            j2 = j1 + jnp.int32(m)
+            first = False
+        else:
+            j1, j2 = bj[:m], bj[m:]
         lo = jnp.minimum(b1, b2)
         if s is None:
             s = lo
@@ -136,9 +174,17 @@ def _top2_rows_f32(profit, j_iota, neg_inf):
         take1 = (b1 > b2) | ((b1 == b2) & (j1 <= j2))
         b = jnp.where(take1, b1, b2)
         bj = jnp.where(take1, j1, j2)
-    if s is None:  # M == 1
+    best = jnp.max(b, axis=0, keepdims=True)
+    is_best = b == best
+    arg = jnp.min(
+        jnp.where(is_best, bj, jnp.int32(UNASSIGNED)),
+        axis=0, keepdims=True,
+    )
+    if s is None:
         s = jnp.full_like(b, neg_inf)
-    return b, bj, s
+    sel = is_best & (bj == arg)
+    second = jnp.max(jnp.where(sel, s, b), axis=0, keepdims=True)
+    return best, arg, second
 
 
 def _top2_lanes(x, u_iota, neg_inf, want_second=True, tail=128):
@@ -156,12 +202,23 @@ def _top2_lanes(x, u_iota, neg_inf, want_second=True, tail=128):
     ``tail`` (e.g. N = 384): the tail trees then run at that width —
     still correct, just fewer fused stages."""
     w = x.shape[1]
+    rows = x.shape[0]
     b, bj = x, u_iota
     s = None
+    first = True
     while w > tail and w % (2 * tail) == 0:
         w //= 2
         b1, b2 = b[:, :w], b[:, w:]
-        j1, j2 = bj[:, :w], bj[:, w:]
+        if first:
+            # as in _top2_rows_f32: the raw axis-1 iota has a
+            # sublane-replicated vreg layout that Mosaic cannot slice —
+            # generate the first stage's index halves fresh (u_iota
+            # must be the raw axis-1 iota; all call sites pass that)
+            j1 = lax.broadcasted_iota(jnp.int32, (rows, w), 1)
+            j2 = j1 + jnp.int32(w)
+            first = False
+        else:
+            j1, j2 = bj[:, :w], bj[:, w:]
         if want_second:
             lo = jnp.minimum(b1, b2)
             if s is None:
