@@ -743,9 +743,12 @@ def _solve_batch_fr(
                 stacklevel=3,
             )
         # block height: the DMA double buffer is pair-unrolled, so the
-        # block count n/bm must be even; beyond 4096 lanes the block
-        # temporaries need the smaller height anyway
-        bm = 128 if (n % 256 == 0 and n <= 4096) else 64
+        # block count n/bm must be even; beyond 2048 lanes the block
+        # temporaries want the smaller height (hardware bm sweep after
+        # the hoisted-flags restructure, experiments/exp_bm_ab.py:
+        # 2048² 98.6 µs/round at bm=128 vs 152.5 at 64; 4096² 57.3 at
+        # bm=64 vs 63.3 at 128; 8192² 72.9 at 64 vs 85.4 at 128)
+        bm = 128 if (n % 256 == 0 and n <= 2048) else 64
         # constant per-dispatch budget: 'rounds' is a static jit arg, so
         # a varying remainder (e.g. min(max_iterations - rounds, ...))
         # would force a fresh multi-minute kernel compile exactly on the
