@@ -237,16 +237,17 @@ def sharded_cases(rng, case_seed, mesh):
 def main():
     args = [a for a in sys.argv[1:] if a != "--sharded"]
     minutes = float(args[0]) if args else 10.0
+    base = int(args[1]) if len(args) > 1 else 0  # fresh base => new cases
     mesh = None
     if "--sharded" in sys.argv:
         from jax.sharding import Mesh
 
         mesh = Mesh(np.array(jax.devices()), ("shard",))
     deadline = time.time() + 60 * minutes
-    rng = np.random.default_rng(12345)
+    rng = np.random.default_rng(12345 + base)
     counts = {"khosla": 0, "forward": 0, "batch": 0, "sparse": 0,
               "sharded": 0}
-    case_seed = 0
+    case_seed = base
     while time.time() < deadline:
         case_seed += 1
         counts["khosla"] += khosla_cases(rng, case_seed)
