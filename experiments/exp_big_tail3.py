@@ -50,13 +50,14 @@ for mode in ("tail", "device"):
                 break
             rounds_i = min(2 * rounds_i, budget)
         if not packed[n + 1]:
-            out_p2o = np.empty((1, n), np.int32)
-            out_nits = np.array([int(packed[n])], np.int32)
-            ok = _fr_big_native_tail(
-                (costs[None], False), 0, n, n, packed, eps, out_p2o, out_nits
+            # pure handoff (generous wall budget, no dovetail): upper
+            # bound of the tail's value on this instance
+            rc, p2o, _, _, _, pops, _ = _fr_big_native_tail(
+                (costs[None], False), 0, n, n, packed, eps, 600.0
             )
-            assert ok
-            p2o, nits = out_p2o[0], int(out_nits[0])
+            assert rc == 0, rc
+            nits = int(packed[n])
+            print(f"  (tail pops: {pops})", flush=True)
         else:
             p2o, nits = packed[:n], int(packed[n])
         print(f"{mode} rep{rep}: {time.perf_counter()-t_all:.2f}s nits={nits} "

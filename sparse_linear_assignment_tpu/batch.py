@@ -62,11 +62,17 @@ _BIG_DISABLE = False
 _BIG_MIN_ELEMS = 1024 * 1024
 
 #: big-single native chain tail: minimum side length.  The endgame war
-#: rounds advance one displacement-chain link per ~0.06–0.13 ms device
-#: round while the sequential engine walks a link in one O(n) scan
-#: (~n ns); below this side the handoff overheads (one extra packed
-#: readback + the f64→f32 transpose) exceed the saved war rounds.
-_BIG_TAIL_MIN_N = 8192
+#: rounds advance one displacement-chain link per device round while
+#: the sequential engine walks a link in one O(n) scan; the tail won at
+#: 8192² (2.2 s vs 3.8 s) BEFORE the streaming kernel's hoisted-flags
+#: restructure cut war rounds to ~73 µs — after it, device-only is
+#: stable at 2.06 s while the pure handoff swings 1.9–4.1 s with host
+#: load (exp_big_tail3, 2026-08-18), and at 16384² the tail loses
+#: outright.  No feasible size favors it now, so the dovetailed race
+#: is off by default (pure upside ~8% best-case, downside ~2×); the
+#: machinery stays for hosts with fast cores (lower this to re-arm)
+#: and for the tests that pin the handoff invariants.
+_BIG_TAIL_MIN_N = 1 << 30
 #: hand off once at most this many persons stay unassigned after a
 #: probe chunk — the war regime (measured: most of the round count is
 #: fought over 1–2 free persons)
