@@ -80,6 +80,7 @@ __all__ = [
     "solve_batch_stream",
     "solve_batch_sparse",
     "BatchedLAP",
+    "linear_sum_assignment",
 ]
 
 __version__ = "0.1.0"
@@ -92,6 +93,7 @@ def __getattr__(name):
         "solve_batch_stream",
         "solve_batch_sparse",
         "BatchedLAP",
+        "linear_sum_assignment",
     ):
         from . import batch
 

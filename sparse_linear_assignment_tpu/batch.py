@@ -1632,6 +1632,55 @@ class BatchedLAP:
         )
 
 
+def linear_sum_assignment(cost_matrix, maximize: bool = False,
+                          eps: Optional[float] = None,
+                          dtype=np.float32):
+    """Drop-in ``scipy.optimize.linear_sum_assignment`` convenience
+    wrapper over the auto-routed dense engines (adoption shim — the
+    reference crate has no such entry point; its closest analogue is
+    the one-call ``solve`` contract, `solver.rs:15-20`).
+
+    Returns ``(row_ind, col_ind)`` with ``row_ind`` sorted, exactly
+    like scipy: ``cost_matrix[row_ind, col_ind].sum()`` is the matching
+    objective.  Rectangular matrices are supported in both
+    orientations (a tall matrix is solved transposed, as scipy does).
+
+    Exactness contract: with integer-valued costs the default
+    ``eps`` (``1/(min(n,m)+1)``, strictly inside the ``n·eps < 1``
+    bound) makes the result exactly optimal; with arbitrary float
+    costs it is ε-optimal (objective within ``min(n,m)·eps`` of the
+    optimum — pass a smaller ``eps`` and/or ``dtype=np.float64`` to
+    tighten).  Entries must be finite (the auction engines treat every
+    arc as biddable; encode missing arcs via the sparse solvers
+    instead).
+    """
+    c = np.asarray(cost_matrix)
+    if c.ndim != 2:
+        raise ValueError("expected a 2-D cost matrix")
+    if not np.isfinite(c).all():
+        raise ValueError(
+            "matrix contains non-finite entries; use KhoslaSolver / "
+            "solve_batch_sparse for instances with missing arcs"
+        )
+    n, m = c.shape
+    if n == 0 or m == 0:
+        return (np.empty(0, dtype=np.intp),) * 2
+    transposed = n > m
+    work = np.ascontiguousarray(c.T) if transposed else c
+    if eps is None:
+        eps = 1.0 / (work.shape[0] + 1)
+    sol = solve_batch(work[None], maximize=maximize, eps=eps,
+                      dtype=dtype)
+    if int(sol.num_unassigned[0]) != 0:  # pragma: no cover - finite
+        raise ValueError("cost matrix is infeasible")
+    p2o = sol.person_to_object[0].astype(np.intp)
+    rows = np.arange(work.shape[0], dtype=np.intp)
+    if transposed:
+        order = np.argsort(p2o)
+        return p2o[order], rows[order]
+    return rows, p2o
+
+
 # ----------------------------------------------------------------------
 # Batched SPARSE mode (the reference's k-sparse domain, vmapped)
 # ----------------------------------------------------------------------

@@ -612,3 +612,40 @@ def test_fr_fused_fast_path_interpret_device_mode(monkeypatch):
         assert abs(float(sol.objective[bi]) - want) < 1e-6, (
             bi, sol.objective[bi], want,
         )
+
+
+def test_linear_sum_assignment_scipy_compat():
+    """The drop-in convenience wrapper matches scipy's return contract
+    (sorted row_ind, exact objective on integer costs) on square, wide,
+    tall, and degenerate shapes, both directions."""
+    from sparse_linear_assignment_tpu import (
+        linear_sum_assignment as lsa_tpu,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape in [(7, 7), (4, 9), (9, 4), (1, 5), (5, 1), (16, 16)]:
+        for maximize in (False, True):
+            c = rng.integers(1, 60, size=shape).astype(np.float64)
+            r, cc = lsa_tpu(c, maximize=maximize)
+            sr, sc = linear_sum_assignment(c, maximize=maximize)
+            # same cardinality, sorted rows, valid pairs, equal objective
+            assert len(r) == len(sr) == min(shape)
+            assert np.all(np.sort(r) == r)
+            assert len(np.unique(r)) == len(r)
+            assert len(np.unique(cc)) == len(cc)
+            assert abs(c[r, cc].sum() - c[sr, sc].sum()) < 1e-9, (
+                shape, maximize, c[r, cc].sum(), c[sr, sc].sum(),
+            )
+    # empty edge case mirrors scipy
+    r, cc = lsa_tpu(np.empty((0, 3)))
+    assert r.size == 0 and cc.size == 0
+    # float costs: eps-optimal within min(n,m)*eps
+    c = rng.uniform(0.0, 1.0, size=(12, 12))
+    r, cc = lsa_tpu(c, eps=1e-4, dtype=np.float64)
+    sr, sc = linear_sum_assignment(c)
+    assert c[r, cc].sum() <= c[sr, sc].sum() + 12 * 1e-4 + 1e-9
+    # non-finite entries are rejected with guidance
+    bad = c.copy()
+    bad[0, 0] = np.inf
+    with pytest.raises(ValueError, match="non-finite"):
+        lsa_tpu(bad)
