@@ -486,6 +486,23 @@ def _fr_pack_results(states: FRState):
     )
 
 
+@jax.jit
+def _fr_pack_results_i32(states: FRState):
+    """Plain-int32 variant of :func:`_fr_pack_results` (``[B, n + 2]``
+    = p2o | nits | done) for shapes the u16 wire format cannot carry:
+    odd N (the two-per-word pack drops the last index) or N >= 2**16
+    (indices overflow u16).  Still ONE readback; just twice the index
+    bytes."""
+    return jnp.concatenate(
+        [
+            states.p2o,
+            states.nits[:, None],
+            states.done.astype(jnp.int32)[:, None],
+        ],
+        axis=1,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("negate",))
 def _device_objective(values_t, p2o, negate):
     """Objective in original cost units, evaluated ON DEVICE from the
@@ -503,15 +520,20 @@ def _device_objective(values_t, p2o, negate):
     return -obj if negate else obj  # minimize ran on negated values
 
 
-@functools.partial(jax.jit, static_argnames=("negate",))
-def _fr_pack_results_with_objective(states: FRState, values_t, negate):
+@functools.partial(jax.jit, static_argnames=("negate", "u16"))
+def _fr_pack_results_with_objective(states: FRState, values_t, negate,
+                                    u16: bool = True):
     """Device-resident variant of :func:`_fr_pack_results`: appends the
     device-evaluated objective (used when the caller never materializes
     host costs) as a double-double (hi, lo) pair of bitcast-f32 lanes —
     f64 bitcasts are not lowerable by the TPU backend's x64 rewrite, and
     the two-word split round-trips ~49 mantissa bits, well beyond the
-    f32-valued summands' information content."""
-    packed = _fr_pack_results(states)
+    f32-valued summands' information content.  ``u16=False`` selects the
+    plain-int32 index layout for shapes the u16 wire format cannot
+    carry (odd N, or N >= 2**16)."""
+    packed = _fr_pack_results(states) if u16 else _fr_pack_results_i32(
+        states
+    )
     obj = _device_objective(values_t, states.p2o, negate)
     hi = obj.astype(jnp.float32)
     lo = (obj - hi.astype(jnp.float64)).astype(jnp.float32)
@@ -1577,7 +1599,10 @@ def solve_batch_stream(
     pending: deque = deque()
     for dev in device_batches:
         pending.append(dispatch(dev))
-        while len(pending) > max(1, window):
+        # drain at window so at most `window` staged batches are ever
+        # live (the documented device-memory bound); window >= 2 keeps
+        # the oldest batch's readback overlapped with device compute
+        while len(pending) >= max(1, window):
             results.append(finish(*pending.popleft()))
     while pending:
         results.append(finish(*pending.popleft()))
@@ -1669,6 +1694,11 @@ def linear_sum_assignment(cost_matrix, maximize: bool = False,
     work = np.ascontiguousarray(c.T) if transposed else c
     if eps is None:
         eps = 1.0 / (work.shape[0] + 1)
+    # entries past the f32 mantissa would be quantized BEFORE the
+    # auction runs, silently breaking the integer-exactness contract
+    # (and loosening the float ε bound): promote to f64 automatically
+    if np.dtype(dtype) == np.float32 and float(np.abs(c).max()) >= 2.0**24:
+        dtype = np.float64
     sol = solve_batch(work[None], maximize=maximize, eps=eps,
                       dtype=dtype)
     if int(sol.num_unassigned[0]) != 0:  # pragma: no cover - finite

@@ -13,6 +13,7 @@ import ctypes
 import hashlib
 import os
 import subprocess
+import threading
 from pathlib import Path
 from typing import Optional
 
@@ -26,6 +27,7 @@ _SO = _NATIVE_DIR / "libslapengine.so"
 _STAMP = _NATIVE_DIR / "libslapengine.hash"
 
 _lib = None
+_lib_lock = threading.Lock()
 
 
 def _src_hash() -> str:
@@ -33,11 +35,22 @@ def _src_hash() -> str:
 
 
 def _build(src_hash: str) -> None:
+    # compile to a private temp path, then atomically rename into place:
+    # a concurrent loader (another thread past the lock is impossible,
+    # but another *process* — e.g. a benchmark's prewarm thread racing a
+    # CPU-reference run in a subprocess — is not) must never dlopen a
+    # half-written .so
+    tmp = _SO.with_name(f".libslapengine.{os.getpid()}.tmp.so")
     cmd = [
         "g++", "-O3", "-march=native", "-fopenmp-simd", "-shared",
-        "-fPIC", "-std=c++17", str(_SRC), "-o", str(_SO),
+        "-fPIC", "-std=c++17", str(_SRC), "-o", str(tmp),
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _SO)
+    finally:
+        if tmp.exists():  # failed build: don't leave droppings
+            tmp.unlink()
     _STAMP.write_text(src_hash)
 
 
@@ -48,10 +61,22 @@ def get_lib() -> ctypes.CDLL:
     survive git clones), and the binary is never committed — it is built
     with ``-march=native`` for the current host, so a foreign-arch copy
     could SIGILL at call time.  A load failure triggers one rebuild.
+    Thread-safe: concurrent first calls (e.g. a prewarm thread racing
+    the main thread's first native solve) serialize on a lock instead
+    of spawning duplicate g++ builds over the same output path.
     """
     global _lib
     if _lib is not None:
         return _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        lib = _load_and_bind()
+        _lib = lib
+    return _lib
+
+
+def _load_and_bind() -> ctypes.CDLL:
     src_hash = _src_hash()
     stamp = _STAMP.read_text().strip() if _STAMP.exists() else ""
     if not _SO.exists() or stamp != src_hash:
@@ -96,7 +121,6 @@ def get_lib() -> ctypes.CDLL:
         ctypes.POINTER(i64), ctypes.POINTER(i64), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_double),
     ]
-    _lib = lib
     return lib
 
 

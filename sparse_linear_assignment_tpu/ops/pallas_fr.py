@@ -479,49 +479,48 @@ def _fr_one_block(
         (rowp, colpi, colp2o, rowo2p,
          mode, done, nits, since, stall_k, card) = state
         vals, vals_t, eps = insts[g]
-        if True:
-            # straight-line mode select (no control flow): the reverse
-            # sub-round is the forward sub-round of the transposed
-            # problem, so one generic sub-round serves both
-            A = jnp.where(mode, vals, vals_t)
-            rowp2, colpi2, colp2o2, rowo2p2, delta = _generic_sub(
-                A, rowp, colpi, colp2o, rowo2p, eps,
-                fused_top2=fused_top2,
-            )
-            # freeze finished instances (bit-exact with exiting early)
-            rowp2 = jnp.where(done, rowp, rowp2)
-            colpi2 = jnp.where(done, colpi, colpi2)
-            colp2o2 = jnp.where(done, colp2o, colp2o2)
-            rowo2p2 = jnp.where(done, rowo2p, rowo2p2)
-            delta = jnp.where(done, jnp.float32(0.0), delta)
+        # straight-line mode select (no control flow): the reverse
+        # sub-round is the forward sub-round of the transposed
+        # problem, so one generic sub-round serves both
+        A = jnp.where(mode, vals, vals_t)
+        rowp2, colpi2, colp2o2, rowo2p2, delta = _generic_sub(
+            A, rowp, colpi, colp2o, rowo2p, eps,
+            fused_top2=fused_top2,
+        )
+        # freeze finished instances (bit-exact with exiting early)
+        rowp2 = jnp.where(done, rowp, rowp2)
+        colpi2 = jnp.where(done, colpi, colpi2)
+        colp2o2 = jnp.where(done, colp2o, colp2o2)
+        rowo2p2 = jnp.where(done, rowo2p, rowo2p2)
+        delta = jnp.where(done, jnp.float32(0.0), delta)
 
-            card2 = card + delta
-            increased = delta > jnp.float32(0.0)
-            # stalled-phase preemption with doubling horizon (fr_dense)
-            stall_flip = ~increased & (since + 1 >= stall_k) & ~done
-            flip = (increased | stall_flip) & ~done
-            mode2 = mode ^ flip
-            since2 = jnp.where(
-                done, since,
-                jnp.where(increased | stall_flip, jnp.int32(0), since + 1),
-            )
-            stall_k2 = jnp.where(
-                done, stall_k,
-                jnp.where(
-                    increased,
-                    jnp.int32(_STALL_K0),
-                    jnp.where(stall_flip, stall_k * 2, stall_k),
-                ),
-            )
-            nits2 = nits + (~done).astype(jnp.int32)
-            done2 = done | (card2 == n_f32)
-            # orientation follows the mode: swap the dual roles on flip
-            rowp2, colpi2, colp2o2, rowo2p2 = lax.cond(
-                flip,
-                lambda p, q, a, b: (_t(q), _t(p), _t(b), _t(a)),
-                lambda p, q, a, b: (p, q, a, b),
-                rowp2, colpi2, colp2o2, rowo2p2,
-            )
+        card2 = card + delta
+        increased = delta > jnp.float32(0.0)
+        # stalled-phase preemption with doubling horizon (fr_dense)
+        stall_flip = ~increased & (since + 1 >= stall_k) & ~done
+        flip = (increased | stall_flip) & ~done
+        mode2 = mode ^ flip
+        since2 = jnp.where(
+            done, since,
+            jnp.where(increased | stall_flip, jnp.int32(0), since + 1),
+        )
+        stall_k2 = jnp.where(
+            done, stall_k,
+            jnp.where(
+                increased,
+                jnp.int32(_STALL_K0),
+                jnp.where(stall_flip, stall_k * 2, stall_k),
+            ),
+        )
+        nits2 = nits + (~done).astype(jnp.int32)
+        done2 = done | (card2 == n_f32)
+        # orientation follows the mode: swap the dual roles on flip
+        rowp2, colpi2, colp2o2, rowo2p2 = lax.cond(
+            flip,
+            lambda p, q, a, b: (_t(q), _t(p), _t(b), _t(a)),
+            lambda p, q, a, b: (p, q, a, b),
+            rowp2, colpi2, colp2o2, rowo2p2,
+        )
         return (
             rowp2, colpi2, colp2o2, rowo2p2,
             mode2, done2, nits2, since2, stall_k2, card2,

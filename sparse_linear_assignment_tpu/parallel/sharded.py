@@ -1131,13 +1131,20 @@ def solve_batch_sharded(
         rounds += chunk
 
     # ONE packed readback (u16-packed p2o | nits | done) — per-array
-    # readbacks each pay the tunnel's ~240 ms latency
-    from ..batch import _unpack_p2o_u16
+    # readbacks each pay the tunnel's ~240 ms latency.  The u16 wire
+    # format needs even N < 2**16 (two indices per int32 word); other
+    # square shapes read back plain int32, still in one transfer.
+    from ..batch import _fr_pack_results_i32, _unpack_p2o_u16
 
-    packed = np.asarray(_fr_pack_results(states))
-    half = n // 2
-    p2o = _unpack_p2o_u16(packed[:b, :half], n)
-    nits = packed[:b, half]
+    if n % 2 == 0 and n < (1 << 16):
+        packed = np.asarray(_fr_pack_results(states))
+        half = n // 2
+        p2o = _unpack_p2o_u16(packed[:b, :half], n)
+        nits = packed[:b, half]
+    else:
+        packed = np.asarray(_fr_pack_results_i32(states))
+        p2o = packed[:b, :n]
+        nits = packed[:b, n]
     assigned = p2o != UNASSIGNED
     o2p = o2p_from_p2o(p2o, m)
     safe = np.where(assigned, p2o, 0)
@@ -1249,6 +1256,10 @@ def solve_batch_sharded_stream(
                                            interpret=kern_interp)
     maxit = jnp.asarray(np.int32(max_iterations))
     stage = _staging_core(bsh, negate, b_pad, int_scale or 0)
+    # u16 wire format needs even N < 2**16; other square shapes (the
+    # non-kernel fallback regime) read back plain int32 indices
+    u16 = n % 2 == 0 and n < (1 << 16)
+    half = n // 2 if u16 else n
 
     def dispatch(dev):
         dev = jnp.asarray(dev)
@@ -1263,11 +1274,10 @@ def solve_batch_sharded_stream(
             while int(undone) != 0 and rounds < max_iterations:
                 st, undone = core(vt, st, target_eps, maxit)
                 rounds += chunk
-        packed_dev = _fr_pack_results_with_objective(st, vt, negate)
+        packed_dev = _fr_pack_results_with_objective(st, vt, negate, u16)
         return vt, st, packed_dev, rounds
 
     def finish(vt, st, packed_dev, rounds):
-        half = n // 2
         while True:
             packed = np.asarray(packed_dev)  # gathers from all devices
             undone = int(b_pad - (packed[:, half + 1] != 0).sum())
@@ -1279,8 +1289,13 @@ def solve_batch_sharded_stream(
                 break
             st, _ = core(vt, st, target_eps, maxit)
             rounds += chunk
-            packed_dev = _fr_pack_results_with_objective(st, vt, negate)
-        p2o = _unpack_p2o_u16(packed[:b, :half], n)
+            packed_dev = _fr_pack_results_with_objective(
+                st, vt, negate, u16
+            )
+        if u16:
+            p2o = _unpack_p2o_u16(packed[:b, :half], n)
+        else:
+            p2o = packed[:b, :n]
         words = np.ascontiguousarray(
             packed[:b, half + 2:half + 4]
         ).view(np.float32)
@@ -1304,7 +1319,10 @@ def solve_batch_sharded_stream(
     pending: deque = deque()
     for dev in device_batches:
         pending.append(dispatch(dev))
-        while len(pending) > max(1, window):
+        # drain at window so at most `window` staged batches are ever
+        # live (the documented device-memory bound); window >= 2 keeps
+        # the oldest batch's readback overlapped with the mesh compute
+        while len(pending) >= max(1, window):
             results.append(finish(*pending.popleft()))
     while pending:
         results.append(finish(*pending.popleft()))

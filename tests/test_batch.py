@@ -649,3 +649,26 @@ def test_linear_sum_assignment_scipy_compat():
     bad[0, 0] = np.inf
     with pytest.raises(ValueError, match="non-finite"):
         lsa_tpu(bad)
+
+
+def test_linear_sum_assignment_promotes_past_f32_mantissa():
+    """Integer costs beyond 2**24 would be quantized by the default f32
+    staging before the auction runs; the wrapper must auto-promote to
+    f64 so the documented integer-exactness contract holds."""
+    from sparse_linear_assignment_tpu import (
+        linear_sum_assignment as lsa_tpu,
+    )
+
+    base = 2 ** 24
+    # adjacent integers around the mantissa edge: f32 cannot represent
+    # base+1, so an f32 solve could tie-break to a non-optimal matching
+    c = np.array(
+        [
+            [base + 1.0, base + 3.0, base + 50.0],
+            [base + 2.0, base + 60.0, base + 4.0],
+            [base + 70.0, base + 5.0, base + 6.0],
+        ]
+    )
+    r, cc = lsa_tpu(c)
+    sr, sc = linear_sum_assignment(c)
+    assert abs(c[r, cc].sum() - c[sr, sc].sum()) < 1e-9

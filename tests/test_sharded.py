@@ -405,3 +405,39 @@ def test_sharded_stream_kernel_variant_interpret(monkeypatch):
             r, c = linear_sum_assignment(bt[bi])
             want = float(bt[bi][r, c].sum())
             assert abs(float(sol.objective[bi]) - want) < 1e-6
+
+
+def test_sharded_batched_odd_n_int32_readback():
+    """Odd-N square instances cannot travel the u16-packed wire format
+    (two indices per int32 word); the sharded batched modes must fall
+    back to the plain-int32 packed readback.  Regression: the 3x3 case
+    used to crash at the readback/objective step with a broadcast
+    IndexError."""
+    import jax.numpy as jnp
+
+    from sparse_linear_assignment_tpu.parallel import (
+        solve_batch_sharded,
+        solve_batch_sharded_stream,
+    )
+
+    rng = np.random.default_rng(71)
+    mesh = make_mesh(2)
+    for n in (3, 9):
+        costs = rng.integers(1, 30, size=(2, n, n)).astype(np.float64)
+        sol = solve_batch_sharded(costs, mesh, eps=1.0 / (n + 1))
+        assert int(np.asarray(sol.num_unassigned).sum()) == 0
+        for bi in range(2):
+            r, c = linear_sum_assignment(costs[bi])
+            assert abs(
+                float(sol.objective[bi]) - float(costs[bi][r, c].sum())
+            ) < 1e-6, (n, bi)
+        # streamed variant takes the same non-kernel fallback on odd N
+        devs = [jnp.asarray(costs.astype(np.float32))]
+        ssols = solve_batch_sharded_stream(devs, mesh, eps=1.0 / (n + 1))
+        assert int(np.asarray(ssols[0].num_unassigned).sum()) == 0
+        for bi in range(2):
+            r, c = linear_sum_assignment(costs[bi])
+            assert abs(
+                float(ssols[0].objective[bi])
+                - float(costs[bi][r, c].sum())
+            ) < 1e-6, ("stream", n, bi)
