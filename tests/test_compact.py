@@ -175,3 +175,56 @@ def test_full_round_matches_slot_round():
     np.testing.assert_allclose(
         np.asarray(s_full.prices), np.asarray(s_slot.prices), rtol=0, atol=0
     )
+
+
+class TestPushAllLeft:
+    """Literal host-side parity utility for the reference's
+    unassigned-list compaction (symmetric.rs:471-508)."""
+
+    def test_reference_case_u16(self):
+        # the reference's own pinned case (symmetric.rs:516-524)
+        from sparse_linear_assignment_tpu.utils import push_all_left
+
+        NONE = np.uint16(np.iinfo(np.uint16).max)
+        arr = np.array([NONE, 1, 2, 3, NONE, NONE], dtype=np.uint16)
+        mapper = np.array([NONE, 1, 2, 3], dtype=np.uint16)
+        push_all_left(arr, mapper, 3, 3)
+        np.testing.assert_array_equal(
+            arr, np.array([3, 1, 2, NONE, NONE, NONE], dtype=np.uint16)
+        )
+        assert mapper[3] == 0  # moved id's inverse map updated in tandem
+
+    @pytest.mark.parametrize("dtype", [np.uint16, np.uint32, np.int32])
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_random_partition_invariants(self, dtype, seed):
+        from sparse_linear_assignment_tpu.utils import push_all_left
+
+        rng = np.random.default_rng(seed)
+        size = int(rng.integers(1, 40))
+        num = int(rng.integers(0, size + 1))
+        sentinel = np.iinfo(dtype).max
+        ids = rng.permutation(size)[:num]
+        data = np.full(size, sentinel, dtype=dtype)
+        pos = rng.permutation(size)[:num]
+        data[pos] = ids
+        mapper = np.full(size, sentinel, dtype=dtype)
+        mapper[ids] = pos
+        push_all_left(data, mapper, num, size)
+        # all valid ids left of the sentinels, same multiset
+        assert set(int(x) for x in data[:num]) == set(int(x) for x in ids)
+        assert all(int(x) == sentinel for x in data[num:])
+        # mapper consistent for every surviving id
+        for j in range(num):
+            assert int(mapper[int(data[j])]) == j
+
+    def test_validation(self):
+        from sparse_linear_assignment_tpu.utils import push_all_left
+
+        with pytest.raises(ValueError):
+            push_all_left(
+                np.zeros(4, np.uint16), np.zeros(4, np.uint32), 1, 4
+            )
+        with pytest.raises(ValueError):
+            push_all_left(
+                np.zeros(4, np.float32), np.zeros(4, np.float32), 1, 4
+            )
