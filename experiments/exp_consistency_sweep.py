@@ -259,8 +259,21 @@ def main():
         if mesh is not None:
             counts["sharded"] += sharded_cases(rng, case_seed, mesh)
         if case_seed % 25 == 0:
-            print(f"[{time.strftime('%H:%M:%S')}] cases: {counts}",
-                  flush=True)
+            # Random shapes compile fresh executables every case; each
+            # holds several JIT code mappings, and the process dies at
+            # vm.max_map_count (65530, ~150 cases: mmap ENOMEM surfaces
+            # as "LLVM compilation error: Cannot allocate memory" with
+            # 127 GB free — measured 2026-08-19, ~335 maps/case).
+            # Dropping the compiled-program caches unmaps them; the
+            # persistent XLA:CPU AOT cache keeps recompiles cheap.
+            jax.clear_caches()
+            try:
+                with open(f"/proc/{os.getpid()}/maps") as f:
+                    nmaps = sum(1 for _ in f)
+            except OSError:
+                nmaps = -1
+            print(f"[{time.strftime('%H:%M:%S')}] cases: {counts} "
+                  f"(maps: {nmaps})", flush=True)
     print(f"SWEEP CLEAN: {counts} (every engine vs scipy oracle)")
 
 
