@@ -168,9 +168,16 @@ def bench_dense_single(sizes=(512, 896, 1024, 2048, 4096)):
 
         sol_holder = {}
 
+        # eps strictly inside the n*eps < 1 integer-exactness bound:
+        # at the default 1/n boundary a gap of exactly 1 is admissible
+        # and the equality asserts below could spuriously trip (same
+        # fix as bench.py's bench_dense_single, ADVICE r2 item 2)
+        eps = 1.0 / (n + 1)
+
         def tpu_run():
             sol_holder["sol"] = solve_batch(
-                costs, solver="fr", dtype=np.float32, costs_device=dev
+                costs, solver="fr", dtype=np.float32, eps=eps,
+                costs_device=dev,
             )
 
         t_tpu = median_time(tpu_run)
@@ -179,7 +186,7 @@ def bench_dense_single(sizes=(512, 896, 1024, 2048, 4096)):
 
         def cpu_run():
             sol_holder["cpu"] = _cpu_tail_forward(
-                -costs[0], 1.0 / n, 1_000_000
+                -costs[0], eps, 1_000_000
             )
 
         t_cpu = median_time(cpu_run)

@@ -155,6 +155,73 @@ class AuctionSolver:
         self._column_indices.extend(int(c) for c in columns)
         self._values.extend(float(v) for v in values)
 
+    def extend_from_csr(self, j_counts, column_indices, values) -> None:
+        """Bulk-append whole rows from CSR arrays — semantically
+        identical to calling :meth:`extend_from_values` once per row
+        (``solver.rs:68-101`` contract: rows in order, every row
+        nonempty), but vectorized for large ingests (the per-row path
+        pays Python-level conversion per arc; at the n=1e5 headline
+        instance that is ~600k scalar casts).
+
+        ``j_counts[r]`` is row r's arc count; ``column_indices`` /
+        ``values`` hold all rows' arcs concatenated in row order.  The
+        appended rows continue after any rows already built; the
+        current row must be complete (nonempty) first.
+        """
+        self._unfreeze()
+        j_counts = np.asarray(j_counts, dtype=np.int64)
+        columns = np.asarray(column_indices)
+        values = np.asarray(values, dtype=np.float64)
+        if j_counts.ndim != 1 or columns.ndim != 1 or values.ndim != 1:
+            raise ValueError("extend_from_csr expects 1-D arrays")
+        if len(columns) != len(values):
+            raise ValueError("columns and values must have the same length")
+        if j_counts.size == 0:
+            if len(columns):
+                raise ValueError("j_counts must sum to len(values)")
+            return
+        if int(j_counts.min()) <= 0:
+            raise ValueError(
+                f"row {int(np.argmin(j_counts))} of the appended block "
+                "has no arcs"
+            )
+        if int(j_counts.sum()) != len(values):
+            raise ValueError("j_counts must sum to len(values)")
+        if not np.issubdtype(columns.dtype, np.integer):
+            cols64 = columns.astype(np.int64)
+            if not np.array_equal(cols64, columns):
+                raise ValueError("column indices must be integers")
+            columns = cols64
+        current_row = len(self._j_counts) - 1
+        fresh = current_row == 0 and self._j_counts[0] == 0
+        if not fresh and self._j_counts[current_row] == 0:
+            raise ValueError(f"row {current_row} has no arcs")
+        base = self._i_starts_stops[-1]
+        offsets = (base + np.cumsum(j_counts)).tolist()
+        counts = j_counts.tolist()
+        if fresh:
+            # reference pre-seed is [0, 0] / [0]: the first appended row
+            # IS row 0 (same state extend_from_values reaches)
+            self._j_counts = counts
+            self._i_starts_stops = [0] + offsets
+        else:
+            self._j_counts.extend(counts)
+            self._i_starts_stops.extend(offsets)
+        self._column_indices.extend(columns.astype(np.int64).tolist())
+        self._values.extend(values.tolist())
+
+    def extend_from_scipy_csr(self, matrix) -> None:
+        """Append a ``scipy.sparse`` matrix's rows (converted to CSR) as
+        arcs: row r gains an arc to column j with value ``matrix[r, j]``
+        for every *stored* entry (explicit zeros included — a stored
+        zero is a legal arc value, exactly as in the incremental
+        builder).  Every row must have at least one stored entry (the
+        reference's nonempty-row contract, ``solver.rs:55,91``)."""
+        csr = matrix.tocsr()
+        self.extend_from_csr(
+            np.diff(csr.indptr), csr.indices, csr.data
+        )
+
     def num_of_arcs(self) -> int:
         if self._frozen_values is not None:
             return int(self._frozen_values.shape[0])

@@ -83,6 +83,92 @@ def test_column_out_of_range(cls):
         solver.solve(sol, False)
 
 
+@pytest.mark.parametrize("cls", SOLVERS)
+def test_extend_from_csr_matches_per_row(cls):
+    # the bulk ingest is definitionally one extend_from_values per row
+    rng = np.random.default_rng(5)
+    n, m = 12, 16
+    counts = rng.integers(1, 5, size=n)
+    cols = np.concatenate(
+        [np.sort(rng.choice(m, size=c, replace=False)) for c in counts]
+    )
+    vals = rng.uniform(-3.0, 7.0, size=cols.shape[0])
+
+    a, sol_a = cls.new(n, m, cols.size)
+    a.init(n, m)
+    a.extend_from_csr(counts, cols, vals)
+
+    b, sol_b = cls.new(n, m, cols.size)
+    b.init(n, m)
+    start = 0
+    for i, c in enumerate(counts):
+        b.extend_from_values(i, cols[start:start + c], vals[start:start + c])
+        start += c
+
+    assert list(a.i_starts_stops) == list(b.i_starts_stops)
+    assert list(a.j_counts) == list(b.j_counts)
+    assert list(a.column_indices) == list(b.column_indices)
+    assert np.allclose(a.values, b.values)
+    a.solve(sol_a, False)
+    b.solve(sol_b, False)
+    assert a.get_objective(sol_a) == b.get_objective(sol_b)
+    assert list(sol_a.person_to_object) == list(sol_b.person_to_object)
+
+
+@pytest.mark.parametrize("cls", SOLVERS)
+def test_extend_from_csr_appends_after_per_row(cls):
+    solver, _ = cls.new(4, 4, 16)
+    solver.init(4, 4)
+    solver.extend_from_values(0, [0, 1], [1.0, 2.0])
+    solver.extend_from_csr([1, 2], [2, 0, 3], [3.0, 4.0, 5.0])
+    assert list(solver.i_starts_stops) == [0, 2, 3, 5]
+    assert list(solver.j_counts) == [2, 1, 2]
+    solver.add_value(3, 1, 6.0)  # per-row build continues after bulk
+    assert list(solver.j_counts) == [2, 1, 2, 1]
+
+
+@pytest.mark.parametrize("cls", SOLVERS)
+def test_extend_from_csr_validation(cls):
+    solver, _ = cls.new(4, 4, 16)
+    solver.init(4, 4)
+    with pytest.raises(ValueError):  # zero-count row in the block
+        solver.extend_from_csr([2, 0], [0, 1], [1.0, 2.0])
+    with pytest.raises(ValueError):  # counts/arcs mismatch
+        solver.extend_from_csr([2, 2], [0, 1, 2], [1.0, 2.0, 3.0])
+    with pytest.raises(ValueError):  # columns/values mismatch
+        solver.extend_from_csr([2], [0, 1], [1.0])
+    with pytest.raises(ValueError):  # non-integral column indices
+        solver.extend_from_csr([1], [0.5], [1.0])
+    solver.extend_from_csr([], [], [])  # empty block is a no-op
+    assert list(solver.j_counts) == [0]
+
+
+def test_extend_from_scipy_csr():
+    scipy_sparse = pytest.importorskip("scipy.sparse")
+    rng = np.random.default_rng(9)
+    # integer values: n*eps = 6/8 < 1 makes the auction exactly optimal
+    dense = np.where(
+        rng.random((6, 8)) < 0.5,
+        rng.integers(1, 9, (6, 8)).astype(np.float64),
+        0.0,
+    )
+    dense[np.arange(6), rng.permutation(8)[:6]] = 5.0  # nonempty rows
+    mat = scipy_sparse.csr_matrix(dense)
+
+    solver, sol = KhoslaSolver.new(6, 8, 48)
+    solver.init(6, 8)
+    solver.extend_from_scipy_csr(mat)
+    assert solver.num_of_arcs() == mat.nnz
+    solver.solve(sol, False)
+    assert sol.num_unassigned == 0
+    # objective matches the dense oracle restricted to stored arcs
+    from scipy.optimize import linear_sum_assignment
+
+    oracle = np.where(dense == 0.0, 1e9, dense)
+    r, c = linear_sum_assignment(oracle)
+    assert np.isclose(solver.get_objective(sol), oracle[r, c].sum())
+
+
 def test_get_toleration():
     # solver.rs:144-146: 1 / 2^(53 - trunc(log2(C + 1e-7)))
     solver, _ = KhoslaSolver.new(1, 1, 1)

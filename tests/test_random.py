@@ -156,3 +156,19 @@ def test_random_solve_small(cls):
                 assert want >= got >= want - eps_bound - 1e-9
             else:
                 assert want <= got <= want + eps_bound + 1e-9
+
+
+def test_gen_symmetric_value_seed_decouples_structure():
+    # value_seed fuzzes costs while pinning the arc structure (and thus
+    # the padded device shapes / compile cache) — generators.py
+    a, _ = KhoslaSolver.new(64, 64, 4096)
+    gen_symmetric_input(a, 3, 64, 0.1, 1.0, 9.0)
+    b, _ = KhoslaSolver.new(64, 64, 4096)
+    gen_symmetric_input(b, 3, 64, 0.1, 1.0, 9.0, value_seed=777)
+    assert list(a.column_indices) == list(b.column_indices)
+    assert list(a.j_counts) == list(b.j_counts)
+    assert not np.allclose(a.values, b.values)
+    # default value_seed is the structure seed (unchanged semantics)
+    c, _ = KhoslaSolver.new(64, 64, 4096)
+    gen_symmetric_input(c, 3, 64, 0.1, 1.0, 9.0, value_seed=3)
+    assert np.allclose(a.values, c.values)
