@@ -56,6 +56,18 @@ _FR_FUSED_INTERPRET_ON_CPU = False
 #: apples-to-apples kernel-vs-XLA comparisons
 _BIG_DISABLE = False
 
+#: Pad the fused-path batch dimension up to a power-of-two bucket (with
+#: this floor) before dispatch.  Each DISTINCT batch size otherwise
+#: compiles its own Mosaic multi-round program — a 10–20 minute cold
+#: compile on this backend (measured: a fresh B=8 at 256² ran past a
+#: 19-minute timeout while the cached B=4096 program solved in seconds)
+#: — so bucketing caps the compiled-program zoo at log2(B) entries.
+#: Padding slots are zero instances marked done at init: they exit
+#: their grid step immediately (the same early exit that makes deep
+#: straggler budgets cheap), costing HBM, not rounds.  Set to 0 to
+#: disable (exact-B programs, e.g. for kernel A/B probes).
+_FR_B_BUCKET_FLOOR = 64
+
 #: elements above which a square f32 single routes to the streaming
 #: kernel (the VMEM-resident kernel's measured crossover; tests shrink
 #: it to drive the big path at test sizes)
@@ -729,6 +741,31 @@ def _solve_batch_fr(
         and (jax.default_backend() not in ("cpu",) or fr_interp)
     )
 
+    # batch-size bucketing for the fused path (see _FR_B_BUCKET_FLOOR):
+    # pad B up to a power of two with done-marked zero instances so any
+    # caller batch size reuses a bounded set of compiled programs
+    real_b = b
+    if use_pallas and _FR_B_BUCKET_FLOOR:
+        pad_to = max(
+            _FR_B_BUCKET_FLOOR, 1 << max(0, int(b - 1).bit_length())
+        )
+        if pad_to > b:
+            values_t = jnp.concatenate(
+                [values_t, jnp.zeros((pad_to - b, m_, n_), dtype)]
+            )
+            if start_eps_h.ndim:
+                start_eps_h = np.concatenate(
+                    [
+                        start_eps_h,
+                        np.full(
+                            pad_to - b, start_eps_h.flat[0],
+                            start_eps_h.dtype,
+                        ),
+                    ]
+                )
+                start_eps = jnp.asarray(start_eps_h)
+            b = pad_to
+
     out_p2o = np.empty((b, n), np.int32)
     out_o2p = np.empty((b, m), np.int32)
     out_eps = np.empty(b, np.float64)
@@ -892,6 +929,12 @@ def _solve_batch_fr(
         return out_p2o, out_o2p, num_unassigned, out_eps, out_nits, out_obj
 
     states = _fr_batch_init(values_t, start_eps)
+    if b != real_b:
+        # padding slots are done from round 0 (host-built mask: a
+        # device_put, no fresh compiled program per (b, real_b) pair)
+        states = states._replace(
+            done=jnp.asarray(np.arange(b) >= real_b)
+        )
 
     if use_pallas:  # use_pallas implies sfoe
         # fast path: ONE fixed-budget multi-round kernel dispatch, ONE
@@ -982,8 +1025,14 @@ def _solve_batch_fr(
                     out_p2o[i] = p2o_i
                     out_o2p[i] = o2p_i
                     out_nits[i] = rounds
+        out_p2o = out_p2o[:real_b]
+        out_o2p = out_o2p[:real_b]
         num_unassigned = (out_p2o == UNASSIGNED).sum(axis=1).astype(np.int32)
-        return out_p2o, out_o2p, num_unassigned, out_eps, out_nits, out_obj
+        return (
+            out_p2o, out_o2p, num_unassigned, out_eps[:real_b],
+            out_nits[:real_b],
+            out_obj[:real_b] if out_obj is not None else None,
+        )
 
     def save_rows(rows):
         """Read back the full (bucket-sized, fixed-shape) state and
@@ -1535,7 +1584,14 @@ def solve_batch_stream(
         eps_val = float(eps) if eps is not None else 1.0 / n
         tail_eps = eps_val
     negate = not maximize
-    sched = _fr_fused_schedule(b, n, max_iterations)
+    # same batch-size bucketing as _solve_batch_fr: one Mosaic program
+    # per power-of-two bucket, padding slots done-marked at init
+    pad_b = b
+    if _FR_B_BUCKET_FLOOR:
+        pad_b = max(
+            _FR_B_BUCKET_FLOOR, 1 << max(0, int(b - 1).bit_length())
+        )
+    sched = _fr_fused_schedule(pad_b, n, max_iterations)
     base_rounds = sched[0] + sched[2] + sched[4]
     start_eps = None  # staged once, shared across batches (same shape)
 
@@ -1547,9 +1603,15 @@ def solve_batch_stream(
             )
         else:
             vt = _stage_values_t(jnp.asarray(dev, dtype), negate)
+        if pad_b > b:
+            vt = jnp.concatenate(
+                [vt, jnp.zeros((pad_b - b, m, n), vt.dtype)]
+            )
         if start_eps is None:
-            start_eps = jnp.full((b,), eps_val, vt.dtype)
+            start_eps = jnp.full((pad_b,), eps_val, vt.dtype)
         st = _fr_batch_init(vt, start_eps)
+        if pad_b > b:
+            st = st._replace(done=jnp.asarray(np.arange(pad_b) >= b))
         st = _fr_solve_fused(vt, st, *sched, interpret=interpret)
         packed = _fr_pack_results_with_objective(st, vt, negate)
         return vt, st, packed
@@ -1560,7 +1622,7 @@ def solve_batch_stream(
         while True:
             packed = np.asarray(packed_dev)  # the ONE blocking readback
             done_h = packed[:, half + 1] != 0
-            undone = int(b - done_h.sum())
+            undone = int((~done_h).sum())  # padded rows are born done
             trace_host(
                 "fr stream: rounds={} undone={}/{}", rounds, undone, b
             )
@@ -1575,6 +1637,7 @@ def solve_batch_stream(
                 st, _ = fr_chunk_pallas(vt, st, 128, interpret)
                 rounds += 128
             packed_dev = _fr_pack_results_with_objective(st, vt, negate)
+        packed = packed[:b]  # drop the bucket-padding rows
         p2o = _unpack_p2o_u16(packed[:, :half], n)
         words = np.ascontiguousarray(
             packed[:, half + 2:half + 4]

@@ -20,3 +20,17 @@ import jax  # noqa: E402
 # the config API, which works until the backend is first used.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def small_fr_batch_bucket(monkeypatch):
+    """Shrink the fused-path batch-size bucket floor (production: 64)
+    so interpret-mode tests at b=3–4 don't drag 60 done-padding rows
+    through the Python-level kernel interpreter.  The padding logic
+    itself still runs whenever b isn't a power of two (and
+    test_batch.py::test_fr_fused_batch_bucketing pins it directly)."""
+    from sparse_linear_assignment_tpu import batch as batch_mod
+
+    monkeypatch.setattr(batch_mod, "_FR_B_BUCKET_FLOOR", 4)

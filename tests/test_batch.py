@@ -614,6 +614,54 @@ def test_fr_fused_fast_path_interpret_device_mode(monkeypatch):
         )
 
 
+def test_fr_fused_batch_bucketing(monkeypatch):
+    """Batch-size bucketing on the fused path: padding b up to the
+    power-of-two bucket (done-marked zero instances) must return
+    results identical to the exact-b program — host mode, the
+    device-resident packed-objective mode, and the stream mode.  This
+    caps the one-Mosaic-program-per-distinct-B compile zoo (a fresh B
+    is a 10–20 minute cold compile on the production backend)."""
+    import jax.numpy as jnp
+
+    from sparse_linear_assignment_tpu import batch as batch_mod
+
+    monkeypatch.setattr(batch_mod, "_FR_FUSED_INTERPRET_ON_CPU", True)
+    rng = np.random.default_rng(47)
+    b, n = 3, 128
+    costs = rng.integers(1, 100, size=(b, n, n)).astype(np.float64)
+    dev = jnp.asarray(costs.astype(np.float32))
+
+    out = {}
+    for floor in (0, 8):
+        monkeypatch.setattr(batch_mod, "_FR_B_BUCKET_FLOOR", floor)
+        host_sol = batch_mod.solve_batch(
+            costs, solver="fr", dtype=np.float32, eps=1.0 / (n + 1)
+        )
+        dev_sol = batch_mod.solve_batch(
+            None, solver="fr", dtype=np.float32,
+            costs_device=dev, integer=True, max_cost=100,
+        )
+        stream_sol = batch_mod.solve_batch_stream(
+            [dev], integer=True, max_cost=100, interpret=True
+        )[0]
+        out[floor] = (host_sol, dev_sol, stream_sol)
+
+    for exact, padded in zip(out[0], out[8]):
+        assert exact.person_to_object.shape == (b, n)
+        assert padded.person_to_object.shape == (b, n)
+        np.testing.assert_array_equal(
+            padded.person_to_object, exact.person_to_object
+        )
+        np.testing.assert_allclose(padded.objective, exact.objective,
+                                   atol=1e-9)
+        assert int(padded.num_unassigned.sum()) == 0
+        assert padded.eps.shape == (b,) and padded.nits.shape == (b,)
+    for bi in range(b):
+        r, c = linear_sum_assignment(costs[bi])
+        want = float(costs[bi][r, c].sum())
+        assert abs(float(out[8][1].objective[bi]) - want) < 1e-6
+
+
 def test_linear_sum_assignment_scipy_compat():
     """The drop-in convenience wrapper matches scipy's return contract
     (sorted row_ind, exact objective on integer costs) on square, wide,
