@@ -24,6 +24,51 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _cache_dir():
+    import os
+
+    return os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"),
+    )
+
+
+def _cache_entries():
+    """Filenames currently in the persistent compilation cache."""
+    import os
+
+    try:
+        return set(os.listdir(_cache_dir()))
+    except OSError:
+        return set()
+
+
+def _cache_report(label, before):
+    """Log how many programs the phase compiled fresh (= cache misses).
+
+    The persistent cache writes a file only on a compile that missed, so
+    new-files-since-snapshot is an exact miss count for programs above
+    the 1 s min-compile-time threshold.  Round-3 driver forensics: all
+    197 entries carried the driver session's own mtimes -> the driver
+    started with an EMPTY cache (it was gitignored, never committed) and
+    paid the full 393 s cold start.  This instrumentation makes that
+    failure mode loud in the artifact (VERDICT round 3, item 2).
+    """
+    after = _cache_entries()
+    new = after - before
+    if new:
+        by_prog = {}
+        for f in new:
+            by_prog[f.split("-")[0]] = by_prog.get(f.split("-")[0], 0) + 1
+        progs = ", ".join(f"{k} x{v}" for k, v in sorted(by_prog.items()))
+        log(f"cache[{label}]: {len(new)} MISS(es) compiled fresh "
+            f"({progs}); {len(after)} entries now")
+    else:
+        log(f"cache[{label}]: all hits ({len(after)} entries)")
+    return after
+
+
 def require_live_backend(attempts=6, probe_timeout=240, retry_wait=180):
     """Fail loudly (exit 1) instead of hanging when the TPU tunnel is down.
 
@@ -166,30 +211,49 @@ def bench_headline():
     # for the wall-clock win of overlapping the compile).
     ref = KhoslaSolver.new(n, n, 10 * n)[0]
     gen_symmetric_input(ref, 42, n, 5.0 / n, 0.0, 10.0)
-    t0 = time.perf_counter()
-    cpu_sol, cpu_nits = khosla_solve_cpu(ref)
-    cpu_time = time.perf_counter() - t0
-    cpu_obj = ref.get_objective(cpu_sol)
-    log(f"CPU reference: {cpu_time:.2f}s nits={cpu_nits} "
-        f"unassigned={cpu_sol.num_unassigned} obj={cpu_obj:.2f}")
+
+    def cpu_run(i):
+        t0 = time.perf_counter()
+        cpu_sol, cpu_nits = khosla_solve_cpu(ref)
+        dt = time.perf_counter() - t0
+        obj = ref.get_objective(cpu_sol)
+        log(f"CPU reference run {i}: {dt:.2f}s nits={cpu_nits} "
+            f"unassigned={cpu_sol.num_unassigned} obj={obj:.2f}")
+        return dt, obj
+
+    cpu_times = []
+    dt, cpu_obj = cpu_run(0)
+    cpu_times.append(dt)
 
     th.join()
     log(f"hybrid first (incl compile/cache load, overlapped with the "
         f"CPU reference): {warm['first']:.2f}s")
 
-    # timed: best-of-5 with per-repeat logging (the tunnel's per-sync
-    # latency swings 30..400 ms between hours; median recorded too)
+    # timed: 5 hybrid repeats INTERLEAVED with 2 more CPU-reference
+    # runs (3 total), so both sides sample the same thermal window of
+    # this single-core host; the headline is median/median.  Round-3
+    # forensics: a single CPU-reference wall swung 49.6–58.6 s between
+    # sessions (±18% of the reported speedup from the denominator
+    # alone) while the TPU side was already median-of-5 — VERDICT
+    # round 3 item 3; reference protocol: criterion's repeated-run
+    # medians (/root/reference/benches/benchmark.rs:111-125).
     times = []
     for i in range(5):
         t0 = time.perf_counter()
         solver.solve(solution, False, scale_eps=True, hybrid=True)
         times.append(time.perf_counter() - t0)
         log(f"hybrid repeat {i}: {times[-1]:.2f}s")
+        if i in (1, 3):
+            cpu_times.append(cpu_run(len(cpu_times))[0])
     best = min(times)
+    median = sorted(times)[len(times) // 2]
+    cpu_median = sorted(cpu_times)[len(cpu_times) // 2]
     tpu_obj = solver.get_objective(solution)
-    log(f"hybrid steady best: {best:.2f}s median: "
-        f"{sorted(times)[len(times) // 2]:.2f}s unassigned="
-        f"{solution.num_unassigned} obj={tpu_obj:.2f}")
+    log(f"hybrid steady best: {best:.2f}s median: {median:.2f}s "
+        f"unassigned={solution.num_unassigned} obj={tpu_obj:.2f}")
+    log(f"CPU reference walls: "
+        + ", ".join(f"{t:.2f}s" for t in cpu_times)
+        + f" median: {cpu_median:.2f}s")
     # Both must reach a full matching; objectives agree within the n*eps
     # optimality bound.  Certificate note: the hybrid's bulk phase runs
     # float32, so its eps-CS certificate holds within f32 rounding of
@@ -198,7 +262,10 @@ def bench_headline():
     # (docs/PERFORMANCE.md "dtype/eps decision matrix").
     assert solution.num_unassigned == 0
     assert abs(tpu_obj - cpu_obj) <= n * solution.eps + 1e-6, (tpu_obj, cpu_obj)
-    return cpu_time / best
+    log(f"headline: median CPU {cpu_median:.2f}s / median TPU "
+        f"{median:.2f}s = {cpu_median / median:.1f}x "
+        f"(best-of-5 TPU would read {cpu_median / best:.1f}x)")
+    return cpu_median / median
 
 
 def bench_batched(batch=4096, repeats=5, staged_copies=3):
@@ -344,7 +411,23 @@ def main():
             "degraded": "tpu_tunnel_unreachable_cpu_only_fallback",
         }))
         return
+    start_entries = _cache_entries()
+    if start_entries:
+        log(f"persistent cache: {len(start_entries)} committed entries "
+            f"at start ({_cache_dir()})")
+    else:
+        log(f"persistent cache EMPTY at start ({_cache_dir()}) — full "
+            f"cold compile ahead; the committed .jax_cache did not make "
+            f"it into this checkout")
+    import jax
+
+    try:  # log WHY any program misses (key diffs) to stderr
+        jax.config.update("jax_explain_cache_misses", True)
+    except AttributeError:
+        pass
+    snap = start_entries
     speedup = bench_headline()
+    snap = _cache_report("headline", snap)
     try:
         try:
             ips = bench_batched()
@@ -363,10 +446,15 @@ def main():
             f"(north star 10k/s)")
     except Exception as e:  # batched is secondary; don't fail the bench
         log(f"batched bench failed: {e!r}")
+    snap = _cache_report("batched", snap)
     try:
         bench_dense_single()
     except Exception as e:  # secondary; don't fail the bench
         log(f"dense single bench failed: {e!r}")
+    snap = _cache_report("dense", snap)
+    total_miss = len(snap - start_entries)
+    log(f"CACHE SUMMARY: {len(start_entries)} entries at start, "
+        f"{total_miss} misses this run, {len(snap)} at end")
     print(json.dumps({
         "metric": "n1e5_k5_sparse_lap_speedup_vs_sequential_cpu",
         "value": round(speedup, 3),
