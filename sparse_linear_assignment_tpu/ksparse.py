@@ -168,12 +168,13 @@ class KhoslaSolver(AuctionSolver):
         # instance-reuse: repeat solves on unchanged CSR state reuse the
         # device-staged padded problem (the reference's capacity-reuse
         # pattern, README.md:27-29; re-uploading ~tens of MB per solve
-        # costs seconds at this tunnel's worst ingress).  Identity of
-        # the frozen values array is the cache key: init()/builders
-        # clear it and a maximize re-flip allocates a new array.
+        # costs seconds at this tunnel's worst ingress).  `_csr_version`
+        # is the cache key: every builder mutation and the in-place
+        # maximize re-flip bump it.
         staged = getattr(self, "_staged_problem", None)
         meta = (np.dtype(self.dtype), self.num_rows, self.num_cols)
-        if staged is not None and staged[0] is values and staged[1] == meta:
+        if staged is not None and staged[0] == self._csr_version \
+                and staged[1] == meta:
             problem = staged[2]
         else:
             problem = build_padded_problem(
@@ -184,7 +185,7 @@ class KhoslaSolver(AuctionSolver):
                 values,
                 dtype=self.dtype,
             )
-            self._staged_problem = (values, meta, problem)
+            self._staged_problem = (self._csr_version, meta, problem)
         if compact is None:
             # Backend-aware default: on accelerator backends always use
             # the host-chunked slot-list engine — the `lax.while_loop` +

@@ -50,17 +50,22 @@ class AuctionSolver:
         self.num_cols: int = 0
         self.prices: np.ndarray = np.zeros(0, dtype=np.float64)
 
-        # CSR storage; Python lists during incremental build, frozen to
-        # arrays lazily at solve time.
-        self._i_starts_stops: list[int] = [0, 0]
-        self._j_counts: list[int] = [0]
-        self._column_indices: list[int] = []
-        self._values: list[float] = []
-        # After a solve, values may live in a (possibly sign-flipped) numpy
-        # array instead of the build lists (reference mutates values in
-        # place on sign flip, solver.rs:214-216).
-        self._frozen_columns: Optional[np.ndarray] = None
-        self._frozen_values: Optional[np.ndarray] = None
+        # CSR storage: NumPy arrays preallocated at the capacity hints
+        # (the reference's `new(row_capacity, column_capacity,
+        # arcs_capacity)` preallocation contract, solver.rs:9-13 /
+        # README.md:27-29) so instance reuse at capacity never
+        # reallocates.  `_narcs`/`_nrows_built` are the live prefixes;
+        # arrays grow by doubling when a hint is exceeded.  Sign flips
+        # (solver.rs:214-216) happen in place; `_csr_version` bumps on
+        # every mutation so device-staging caches key on it instead of
+        # array identity.
+        self._iss = np.zeros(max(self.row_capacity, 1) + 1, dtype=np.int64)
+        self._jc = np.zeros(max(self.row_capacity, 1), dtype=np.int64)
+        self._cols = np.empty(max(self.arcs_capacity, 0), dtype=INDEX_DTYPE)
+        self._vals = np.empty(max(self.arcs_capacity, 0), dtype=np.float64)
+        self._nrows_built = 1  # len(j_counts); reference seed [0] (rs:197-200)
+        self._narcs = 0
+        self._csr_version = 0
 
     # ------------------------------------------------------------------
     # classmethod constructor mirroring `AuctionSolver::new`
@@ -92,68 +97,94 @@ class AuctionSolver:
         self.num_cols = int(num_cols)
         # Reference pre-seeds i_starts_stops=[0,0], j_counts=[0]
         # (solver.rs:197-200); this shape is pinned by
-        # test_cumulative_idx_diff (symmetric.rs:526-534).
-        self._i_starts_stops = [0, 0]
-        self._j_counts = [0]
-        self._column_indices = []
-        self._values = []
-        self._frozen_columns = None
-        self._frozen_values = None
+        # test_cumulative_idx_diff (symmetric.rs:526-534).  Reset the
+        # live prefixes only — the capacity-sized arrays survive, so
+        # init + rebuild at capacity is allocation-free.
+        self._iss[0] = 0
+        self._iss[1] = 0
+        self._jc[0] = 0
+        self._nrows_built = 1
+        self._narcs = 0
+        self._csr_version += 1
 
-    def _unfreeze(self) -> None:
-        if self._frozen_values is not None:
-            self._column_indices = self._frozen_columns.tolist()
-            self._values = self._frozen_values.tolist()
-            self._frozen_columns = None
-            self._frozen_values = None
+    def _grow_arcs(self, extra: int) -> None:
+        need = self._narcs + extra
+        cap = self._cols.shape[0]
+        if need > cap:
+            new_cap = max(need, 2 * cap, 16)
+            cols = np.empty(new_cap, dtype=INDEX_DTYPE)
+            vals = np.empty(new_cap, dtype=np.float64)
+            cols[: self._narcs] = self._cols[: self._narcs]
+            vals[: self._narcs] = self._vals[: self._narcs]
+            self._cols = cols
+            self._vals = vals
+
+    def _grow_rows(self, extra: int) -> None:
+        need = self._nrows_built + extra
+        if need > self._jc.shape[0]:
+            new_cap = max(need, 2 * self._jc.shape[0], 16)
+            jc = np.zeros(new_cap, dtype=np.int64)
+            iss = np.zeros(new_cap + 1, dtype=np.int64)
+            jc[: self._nrows_built] = self._jc[: self._nrows_built]
+            iss[: self._nrows_built + 1] = self._iss[: self._nrows_built + 1]
+            self._jc = jc
+            self._iss = iss
 
     def add_value(self, row: int, column: int, value: float) -> None:
         """Append one arc; rows must arrive in nondecreasing order
         (``solver.rs:41-66``)."""
-        self._unfreeze()
-        current_row = len(self._j_counts) - 1
+        current_row = self._nrows_built - 1
         if row != current_row and row != current_row + 1:
             raise ValueError(
                 f"row {row} out of order (current row {current_row})"
             )
-        cumulative_offset = self._i_starts_stops[current_row + 1] + 1
+        cumulative_offset = int(self._iss[current_row + 1]) + 1
         if row > current_row:
-            if not self._j_counts[current_row] > 0:
+            if not self._jc[current_row] > 0:
                 raise ValueError(f"row {current_row} has no arcs")
-            self._i_starts_stops.append(cumulative_offset)
-            self._j_counts.append(1)
+            self._grow_rows(1)
+            self._nrows_built += 1
+            self._iss[self._nrows_built] = cumulative_offset
+            self._jc[self._nrows_built - 1] = 1
         else:
-            self._i_starts_stops[current_row + 1] = cumulative_offset
-            self._j_counts[current_row] += 1
-        self._column_indices.append(int(column))
-        self._values.append(float(value))
+            self._iss[current_row + 1] = cumulative_offset
+            self._jc[current_row] += 1
+        self._grow_arcs(1)
+        self._cols[self._narcs] = int(column)
+        self._vals[self._narcs] = float(value)
+        self._narcs += 1
+        self._csr_version += 1
 
     def extend_from_values(
         self, row: int, columns: Sequence[int], values: Sequence[float]
     ) -> None:
         """Append a whole row's arcs at once (``solver.rs:68-101``)."""
-        self._unfreeze()
         columns = np.asarray(columns)
         values = np.asarray(values, dtype=np.float64)
         if len(columns) != len(values):
             raise ValueError("columns and values must have the same length")
-        current_row = len(self._j_counts) - 1
+        current_row = self._nrows_built - 1
         if row != current_row and row != current_row + 1:
             raise ValueError(
                 f"row {row} out of order (current row {current_row})"
             )
         length_increment = len(columns)
-        cumulative_offset = self._i_starts_stops[current_row + 1] + length_increment
+        cumulative_offset = int(self._iss[current_row + 1]) + length_increment
         if row > current_row:
-            if not self._j_counts[current_row] > 0:
+            if not self._jc[current_row] > 0:
                 raise ValueError(f"row {current_row} has no arcs")
-            self._i_starts_stops.append(cumulative_offset)
-            self._j_counts.append(length_increment)
+            self._grow_rows(1)
+            self._nrows_built += 1
+            self._iss[self._nrows_built] = cumulative_offset
+            self._jc[self._nrows_built - 1] = length_increment
         else:
-            self._i_starts_stops[current_row + 1] = cumulative_offset
-            self._j_counts[current_row] += length_increment
-        self._column_indices.extend(int(c) for c in columns)
-        self._values.extend(float(v) for v in values)
+            self._iss[current_row + 1] = cumulative_offset
+            self._jc[current_row] += length_increment
+        self._grow_arcs(length_increment)
+        self._cols[self._narcs: self._narcs + length_increment] = columns
+        self._vals[self._narcs: self._narcs + length_increment] = values
+        self._narcs += length_increment
+        self._csr_version += 1
 
     def extend_from_csr(self, j_counts, column_indices, values) -> None:
         """Bulk-append whole rows from CSR arrays — semantically
@@ -168,7 +199,6 @@ class AuctionSolver:
         appended rows continue after any rows already built; the
         current row must be complete (nonempty) first.
         """
-        self._unfreeze()
         j_counts = np.asarray(j_counts, dtype=np.int64)
         columns = np.asarray(column_indices)
         values = np.asarray(values, dtype=np.float64)
@@ -192,23 +222,38 @@ class AuctionSolver:
             if not np.array_equal(cols64, columns):
                 raise ValueError("column indices must be integers")
             columns = cols64
-        current_row = len(self._j_counts) - 1
-        fresh = current_row == 0 and self._j_counts[0] == 0
-        if not fresh and self._j_counts[current_row] == 0:
+        if columns.size and not (
+            -(2 ** 31) <= int(columns.min())
+            and int(columns.max()) < 2 ** 31
+        ):
+            # would silently wrap in the int32 store and could then dodge
+            # validate_input's range check
+            raise ValueError("column index out of int32 range")
+        current_row = self._nrows_built - 1
+        fresh = current_row == 0 and self._jc[0] == 0
+        if not fresh and self._jc[current_row] == 0:
             raise ValueError(f"row {current_row} has no arcs")
-        base = self._i_starts_stops[-1]
-        offsets = (base + np.cumsum(j_counts)).tolist()
-        counts = j_counts.tolist()
+        base = int(self._iss[self._nrows_built])
+        k = int(j_counts.shape[0])
         if fresh:
             # reference pre-seed is [0, 0] / [0]: the first appended row
             # IS row 0 (same state extend_from_values reaches)
-            self._j_counts = counts
-            self._i_starts_stops = [0] + offsets
+            self._grow_rows(k - 1)
+            self._jc[:k] = j_counts
+            self._iss[0] = 0
+            np.cumsum(j_counts, out=self._iss[1: k + 1])
+            self._nrows_built = k
         else:
-            self._j_counts.extend(counts)
-            self._i_starts_stops.extend(offsets)
-        self._column_indices.extend(columns.astype(np.int64).tolist())
-        self._values.extend(values.tolist())
+            self._grow_rows(k)
+            start = self._nrows_built
+            self._jc[start: start + k] = j_counts
+            self._iss[start + 1: start + 1 + k] = base + np.cumsum(j_counts)
+            self._nrows_built = start + k
+        self._grow_arcs(len(values))
+        self._cols[self._narcs: self._narcs + len(values)] = columns
+        self._vals[self._narcs: self._narcs + len(values)] = values
+        self._narcs += len(values)
+        self._csr_version += 1
 
     def extend_from_scipy_csr(self, matrix) -> None:
         """Append a ``scipy.sparse`` matrix's rows (converted to CSR) as
@@ -223,38 +268,27 @@ class AuctionSolver:
         )
 
     def num_of_arcs(self) -> int:
-        if self._frozen_values is not None:
-            return int(self._frozen_values.shape[0])
-        return len(self._column_indices)
+        return self._narcs
 
     # Array views of the CSR state (accessors in the reference trait).
+    # These are live views into the preallocated storage — zero-copy;
+    # mutations via the builder methods bump `_csr_version`, which is
+    # what device-staging caches key on.
     @property
     def i_starts_stops(self) -> np.ndarray:
-        return np.asarray(self._i_starts_stops, dtype=np.int64)
+        return self._iss[: self._nrows_built + 1]
 
     @property
     def j_counts(self) -> np.ndarray:
-        return np.asarray(self._j_counts, dtype=np.int64)
+        return self._jc[: self._nrows_built]
 
     @property
     def column_indices(self) -> np.ndarray:
-        if self._frozen_columns is not None:
-            return self._frozen_columns
-        return np.asarray(self._column_indices, dtype=INDEX_DTYPE)
+        return self._cols[: self._narcs]
 
     @property
     def values(self) -> np.ndarray:
-        if self._frozen_values is not None:
-            return self._frozen_values
-        return np.asarray(self._values, dtype=np.float64)
-
-    def _freeze(self) -> None:
-        """Snapshot build lists into numpy arrays (one-time per solve)."""
-        if self._frozen_values is None:
-            self._frozen_columns = np.asarray(
-                self._column_indices, dtype=INDEX_DTYPE
-            )
-            self._frozen_values = np.asarray(self._values, dtype=np.float64)
+        return self._vals[: self._narcs]
 
     # ------------------------------------------------------------------
     # Lifecycle (C6: solver.rs:191-243)
@@ -277,12 +311,16 @@ class AuctionSolver:
         ``maximize ^ positive_values`` exactly like the reference
         (``solver.rs:207-230``) so minimize runs as max-profit auction on
         negated values and solving twice re-flips correctly."""
-        self._freeze()
-        vals = self._frozen_values
+        vals = self._vals[: self._narcs]
         positive_values = bool(vals[0] >= 0.0) if vals.size else True
         if maximize ^ positive_values:
-            self._frozen_values = -vals
+            np.negative(vals, out=vals)  # in place, like the reference
+            self._csr_version += 1
 
+        # Fresh arrays (not in-place refills): callers legitimately hold
+        # solver.prices / solution.person_to_object across solves
+        # (warm starts pass solver.prices back in), and these
+        # allocations are ~50 us at n=1e5 — noise next to the solve.
         self.prices = np.zeros(self.num_cols, dtype=np.float64)
         solution.person_to_object = np.full(
             self.num_rows, UNASSIGNED, dtype=INDEX_DTYPE

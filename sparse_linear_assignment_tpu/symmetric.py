@@ -157,7 +157,8 @@ class ForwardAuctionSolver(AuctionSolver):
         # solves on unchanged CSR state skip the device re-upload
         staged = getattr(self, "_staged_problem", None)
         meta = (np.dtype(self.dtype), self.num_rows, self.num_cols)
-        if staged is not None and staged[0] is values and staged[1] == meta:
+        if staged is not None and staged[0] == self._csr_version \
+                and staged[1] == meta:
             problem = staged[2]
         else:
             problem = build_padded_problem(
@@ -168,7 +169,7 @@ class ForwardAuctionSolver(AuctionSolver):
                 values,
                 dtype=self.dtype,
             )
-            self._staged_problem = (values, meta, problem)
+            self._staged_problem = (self._csr_version, meta, problem)
         if start_prices is not None:
             start_prices = np.asarray(start_prices, dtype=np.float64)
             if start_prices.shape != (self.num_cols,):

@@ -175,3 +175,63 @@ def test_get_toleration():
     assert solver.get_toleration(1000.0) == 2.0 ** (9 - 53)
     assert solver.get_toleration(10.0) == 2.0 ** (3 - 53)
     assert solver.get_toleration(1.0) == 2.0 ** (0 - 53)
+
+
+@pytest.mark.parametrize("cls", SOLVERS)
+def test_capacity_hints_preallocate_and_reuse(cls):
+    """Capacity hints (solver.rs:9-13, README.md:27-29): storage is
+    preallocated at arcs/row capacity and init()+rebuild at capacity is
+    allocation-free (same buffers, no growth)."""
+    n, k = 64, 4
+    solver, solution = cls.new(n, n, n * k)
+    assert solver._cols.shape[0] == n * k
+    assert solver._vals.shape[0] == n * k
+
+    def build(shift):
+        solver.init(n, n)
+        for i in range(n):
+            cols = [(i + j + shift) % n for j in range(k)]
+            solver.extend_from_values(i, sorted(cols), [1.0 + c for c in sorted(cols)])
+
+    build(0)
+    bufs = (id(solver._cols), id(solver._vals), id(solver._jc), id(solver._iss))
+    solver.solve(solution, False)
+    assert solution.num_unassigned == 0
+    build(1)  # rebuild within capacity
+    assert bufs == (
+        id(solver._cols), id(solver._vals), id(solver._jc), id(solver._iss)
+    ), "rebuild at capacity reallocated storage"
+    solver.solve(solution, False)
+    assert solution.num_unassigned == 0
+
+
+@pytest.mark.parametrize("cls", SOLVERS)
+def test_capacity_overflow_grows(cls):
+    """Exceeding the hints grows storage transparently (doubling)."""
+    solver, solution = cls.new(2, 4, 1)
+    solver.init(3, 4)
+    for i in range(3):
+        solver.extend_from_values(i, [0, 1, 2, 3], [1.0, 2.0, 3.0, 4.0])
+    assert solver.num_of_arcs() == 12
+    solver.solve(solution, False)
+    assert solution.num_unassigned == 0
+
+
+def test_staged_cache_invalidated_by_value_mutation():
+    """The device-staging cache keys on _csr_version: an in-place value
+    edit plus version bump must restage (not reuse stale device data)."""
+    n = 16
+    solver, solution = KhoslaSolver.new(n, n, n * n)
+    solver.init(n, n)
+    rng = np.random.default_rng(5)
+    costs = rng.integers(1, 50, size=(n, n)).astype(float)
+    for i in range(n):
+        solver.extend_from_values(i, list(range(n)), list(costs[i]))
+    solver.solve(solution, False, eps=1.0 / (n + 1))
+    obj1 = solver.get_objective(solution)
+    # mutate values in place (double them) and bump the version
+    solver.values[:] = solver.values * 2.0
+    solver._csr_version += 1
+    solver.solve(solution, False, eps=1.0 / (n + 1))
+    obj2 = solver.get_objective(solution)
+    assert obj2 == pytest.approx(2.0 * obj1, rel=1e-6)

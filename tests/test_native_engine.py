@@ -74,8 +74,8 @@ def test_native_agrees_with_tpu_solver(seed):
         solver, solution = KhoslaSolver.new(num_rows, num_cols, num_rows * k)
         gen_ksparse_uniform(solver, seed, num_rows, num_cols, k, 10.0)
         # integer costs + eps < 1/n ⇒ both engines reach the exact optimum
-        solver._unfreeze()
-        solver._values = [float(np.floor(v)) for v in solver._values]
+        np.floor(solver.values, out=solver.values)  # live view
+        solver._csr_version += 1  # invalidate any staged device problem
         eps = 1.0 / (num_rows + 1)
         if engine == "cpu":
             sol, _ = khosla_solve_cpu(solver, False, eps=eps)
