@@ -63,6 +63,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..solution import UNASSIGNED
+from ..utils.trace import trace_kernel_round
 from .fr_dense import INT_SENTINEL, STALL_K0, FRState
 
 # numpy scalars: jnp constants cannot be captured by kernels on this
@@ -514,6 +515,15 @@ def _fr_one_block(
         )
         nits2 = nits + (~done).astype(jnp.int32)
         done2 = done | (card2 == n_f32)
+        # in-kernel round trace (zero ops when SLAP_TPU_DEBUG unset):
+        # the hot-loop visibility the reference has at ksparse.rs:189-190
+        # (all args int32: Mosaic's debug_print placeholders only
+        # lower 32-bit integers)
+        trace_kernel_round(
+            "fr kernel g=%d round: nits={} mode={} card={} done={}" % g,
+            nits2, mode2.astype(jnp.int32), card2.astype(jnp.int32),
+            done2.astype(jnp.int32),
+        )
         # orientation follows the mode: swap the dual roles on flip
         rowp2, colpi2, colp2o2, rowo2p2 = lax.cond(
             flip,

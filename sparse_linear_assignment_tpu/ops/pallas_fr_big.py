@@ -58,6 +58,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..solution import UNASSIGNED
+from ..utils.trace import trace_kernel_round
 from .fr_dense import STALL_K0, FRState
 from .pallas_fr import _top2_lanes, _top2_rows_f32
 
@@ -517,6 +518,15 @@ def _fr_big_kernel(
         )
         nits = nits + (~done).astype(jnp.int32)
         done = done | (card_new == jnp.float32(n))
+        # in-kernel round trace (zero ops when SLAP_TPU_DEBUG unset):
+        # hot-loop visibility parity with ksparse.rs:189-190
+        # (all args int32: Mosaic's debug_print placeholders only
+        # lower 32-bit integers)
+        trace_kernel_round(
+            "fr big kernel round: nits={} mode={} card={} done={}",
+            nits, mode.astype(jnp.int32), card_new.astype(jnp.int32),
+            done.astype(jnp.int32),
+        )
         return (i + jnp.int32(1), pi, p2o, mode, done, nits, since,
                 stall_k, card_new)
 

@@ -44,6 +44,20 @@ def trace_round(fmt: str, *args) -> None:
         jax.debug.print(fmt, *args)
 
 
+def trace_kernel_round(fmt: str, *args) -> None:
+    """``pl.debug_print`` gated on the debug flag — the in-kernel
+    analogue of :func:`trace_round` for Mosaic kernel interiors, where
+    ``jax.debug.print`` does not lower (the production fused paths
+    ``ops/pallas_fr.py`` / ``ops/pallas_fr_big.py``; reference hot-loop
+    trace sites `ksparse.rs:189-190`).  Checked at trace time, so the
+    production program — and its persistent-cache key — carries no
+    debug ops when disabled."""
+    if _DEBUG:
+        from jax.experimental import pallas as pl
+
+        pl.debug_print(fmt, *args)
+
+
 def trace_host(fmt: str, *args) -> None:
     """Host-side gated trace for driver-level events the reference logs
     with `info!`/`trace!` outside the hot loop (ε-phase transitions,

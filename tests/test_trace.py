@@ -91,3 +91,54 @@ def test_hybrid_phase_trace(capfd):
     assert solution.num_unassigned == 0
     out, err = capfd.readouterr()
     assert "hybrid phase" in out + err, (out, err)
+
+
+def test_fused_kernel_round_trace_interpret(capfd):
+    """The production fused kernel prints per-round state under
+    SLAP_TPU_DEBUG (VERDICT r3 item 5) — interpret-mode smoke; on
+    hardware the same pl.debug_print sites lower via Mosaic."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_linear_assignment_tpu.ops.fr_dense import fr_init
+    from sparse_linear_assignment_tpu.ops.pallas_fr import fr_chunk_pallas
+    from sparse_linear_assignment_tpu.utils import set_debug
+
+    rng = np.random.default_rng(11)
+    vals_t = jnp.asarray(
+        rng.integers(1, 50, size=(1, 128, 128)).astype(np.float32)
+    )
+    states = jax.vmap(lambda v: fr_init(v, np.float32(1.0 / 129)))(vals_t)
+    jax.clear_caches()  # debug flag takes effect at trace time
+    set_debug(True)
+    try:
+        fr_chunk_pallas(vals_t, states, 4, interpret=True)
+    finally:
+        set_debug(False)
+        jax.clear_caches()  # drop the debug-build programs again
+    out, err = capfd.readouterr()
+    assert "fr kernel g=0 round" in out + err, (out[-500:], err[-500:])
+
+
+def test_big_kernel_round_trace_interpret(capfd):
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_linear_assignment_tpu.ops.fr_dense import fr_init
+    from sparse_linear_assignment_tpu.ops.pallas_fr_big import fr_big_chunk
+    from sparse_linear_assignment_tpu.utils import set_debug
+
+    rng = np.random.default_rng(12)
+    vals_t = jnp.asarray(
+        rng.integers(1, 50, size=(256, 256)).astype(np.float32)
+    )
+    state = fr_init(vals_t, np.float32(1.0 / 257))
+    jax.clear_caches()
+    set_debug(True)
+    try:
+        fr_big_chunk(vals_t, state, 4, bm=64, interpret=True)
+    finally:
+        set_debug(False)
+        jax.clear_caches()
+    out, err = capfd.readouterr()
+    assert "fr big kernel round" in out + err, (out[-500:], err[-500:])
