@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import time
 from typing import NamedTuple, Optional
 
 import jax
@@ -72,32 +71,6 @@ _FR_B_BUCKET_FLOOR = 64
 #: kernel (the VMEM-resident kernel's measured crossover; tests shrink
 #: it to drive the big path at test sizes)
 _BIG_MIN_ELEMS = 1024 * 1024
-
-#: big-single native chain tail: minimum side length.  The endgame war
-#: rounds advance one displacement-chain link per device round while
-#: the sequential engine walks a link in one O(n) scan; the tail won at
-#: 8192² (2.2 s vs 3.8 s) BEFORE the streaming kernel's hoisted-flags
-#: restructure cut war rounds to ~73 µs — after it, device-only is
-#: stable at 2.06 s while the pure handoff swings 1.9–4.1 s with host
-#: load (exp_big_tail3, 2026-08-18), and at 16384² the tail loses
-#: outright.  No feasible size favors it now, so the dovetailed race
-#: is off by default (pure upside ~8% best-case, downside ~2×); the
-#: machinery stays for hosts with fast cores (lower this to re-arm)
-#: and for the tests that pin the handoff invariants.
-_BIG_TAIL_MIN_N = 1 << 30
-#: hand off once at most this many persons stay unassigned after a
-#: probe chunk — the war regime (measured: most of the round count is
-#: fought over 1–2 free persons)
-_BIG_TAIL_MAX_FREE = 32
-#: test/bench hook — disable the native chain tail on big singles
-_BIG_TAIL_DISABLE = False
-#: probe-chunk override (None → max(512, n // 4)); tests shrink it to
-#: force the tail at test sizes
-_BIG_TAIL_PROBE0 = None
-#: pop count of the tail's first (calibration) chunk — it measures the
-#: true per-pop cost (DRAM/TLB-bound, ~25 µs at 8192², ~110 µs at
-#: 16384²) before the rest of the wall-clock budget is sized
-_BIG_TAIL_CALIB_POPS = 4096
 
 #: observability: number of instances the last fused-path solve handed
 #: to the serial native straggler tail (bench target: 0 — the two-level
@@ -344,120 +317,11 @@ def _fr_pack_single(state: FRState):
     )
 
 
-@jax.jit
-def _fr_pack_single_tail(state: FRState):
-    """:func:`_fr_pack_single` plus the prices for a native chain-tail
-    handoff: ``[n + 2 + m]`` int32 = p2o | nits | done | bitcast f32
-    prices — still ONE readback (each device→host sync costs ~240 ms
-    through this tunnel regardless of size)."""
-    return jnp.concatenate(
-        [
-            state.p2o,
-            state.nits[None],
-            state.done.astype(jnp.int32)[None],
-            lax.bitcast_convert_type(state.prices, jnp.int32),
-        ]
-    )
-
-
-def _fr_big_native_tail(work_host, bi, n, m, packed, eps, budget_sec, at=None):
-    """Hand one big single's warm streamed-FR state to the sequential
-    forward-reverse engine (``native/engine.cpp:slap_fr_dense_finish``
-    — same bidding rules as ``ops/fr_dense.py``, so the ε-CS
-    certificate carries through the handoff).
-
-    The assigned pairs' duals are recomputed exactly from the f64 host
-    costs (``pi_i + p_j = a_ij``); the few free persons get the tight
-    valid dual ``max_j(a_ij − p_j) − ε``.  Reverse scans read a
-    one-time f32 transpose built by the native blocked kernel (exact
-    for integer-valued costs; otherwise within value rounding — the
-    f32 path's documented certificate); pass a previous attempt's
-    ``at`` back in to skip rebuilding it.
-
-    The tail is given a **wall-clock budget** (``budget_sec``, sized by
-    the caller to the cost of the next device chunk): a first small pop
-    chunk calibrates the true per-pop cost, then the remaining budget
-    is converted to pops.  Returns ``(rc, p2o, o2p, prices, profits,
-    pops, at)`` — rc 0 means the matching completed; rc 1 means the
-    budget ran out and the (still invariant-preserving) partial state
-    can re-enter the device loop via :func:`_fr_state_from_host`."""
-    from .cpu_reference import fr_dense_finish_cpu, get_lib
-
-    costs_host, maximize = work_host
-    row = np.asarray(costs_host[bi], dtype=np.float64)
-    sign = 1.0 if maximize else -1.0  # applied inside the native scans
-    if at is None:
-        at = np.empty((m, n), np.float32)
-        get_lib().slap_negate_transpose_f32(row, n, m, sign, at)
-    prices = (
-        np.ascontiguousarray(packed[n + 2 : n + 2 + m])
-        .view(np.float32)
-        .astype(np.float64)
-    )
-    p2o_dev = packed[:n]
-    p2o = np.where(p2o_dev == UNASSIGNED, np.int32(-1), p2o_dev).astype(
-        np.int32
-    )
-    o2p = np.full(m, -1, np.int32)
-    rows_idx = np.arange(n, dtype=np.int32)
-    assigned = p2o >= 0
-    o2p[p2o[assigned]] = rows_idx[assigned]
-    profits = np.empty(n, np.float64)
-    profits[assigned] = (
-        sign * row[rows_idx[assigned], p2o[assigned]] - prices[p2o[assigned]]
-    )
-    for i in rows_idx[~assigned]:
-        profits[i] = (sign * row[i] - prices).max() - eps
-    deadline = time.perf_counter() + budget_sec
-    total_pops = 0
-    chunk_pops = int(_BIG_TAIL_CALIB_POPS)
-    while True:
-        t0 = time.perf_counter()
-        rc, pops = fr_dense_finish_cpu(
-            row, at, float(eps), prices, profits, p2o, o2p,
-            max_pops=chunk_pops, sign=sign,
-        )
-        total_pops += pops
-        if rc == 0:
-            break
-        wall = max(time.perf_counter() - t0, 1e-6)
-        pop_sec = wall / max(pops, 1)
-        remaining = deadline - time.perf_counter()
-        if remaining <= pop_sec:
-            break
-        chunk_pops = max(int(remaining / pop_sec), 1024)
-    trace_host(
-        "fr big native tail {}: pops={} budget={:.2f}s rc={}",
-        bi, total_pops, budget_sec, rc,
-    )
-    return rc, p2o, o2p, prices, profits, total_pops, at
-
-
-def _fr_state_from_host(p2o, o2p, prices, profits, eps, nits, dtype):
-    """Re-enter the device big-single loop from a native partial state
-    (a bounded tail attempt that ran out of its pop budget).  The f32
-    rounding of the duals on re-entry stays within the f32 path's
-    certificate contract; the auction invariants themselves survive any
-    price/profit perturbation (every later assignment is made by rule
-    at the target ε)."""
-    return FRState(
-        prices=jnp.asarray(prices.astype(dtype)),
-        profits=jnp.asarray(profits.astype(dtype)),
-        p2o=jnp.asarray(
-            np.where(p2o < 0, UNASSIGNED, p2o).astype(np.int32)
-        ),
-        o2p=jnp.asarray(
-            np.where(o2p < 0, UNASSIGNED, o2p).astype(np.int32)
-        ),
-        eps=jnp.asarray(np.dtype(dtype).type(eps)),
-        forward_mode=jnp.ones((), bool),
-        since_inc=jnp.zeros((), jnp.int32),
-        stall_k=jnp.full((), STALL_K0, jnp.int32),
-        nits=jnp.asarray(np.int32(nits)),
-        nreductions=jnp.zeros((), jnp.int32),
-        optimal_found=jnp.zeros((), bool),
-        done=jnp.zeros((), bool),
-    )
+# (The dovetailed native chain-tail machinery — _fr_pack_single_tail /
+# _fr_big_native_tail / _fr_state_from_host — was deleted in round 4:
+# measured never-winning after the streaming kernel's hoisted-flags
+# restructure, see the use_big loop note.  The sequential engine's
+# warm-start entry survives as cpu_reference.fr_dense_finish_cpu.)
 
 
 def _pack_p2o_u16(p2o):
@@ -821,97 +685,33 @@ def _solve_batch_fr(
         # max_iterations by at most one budget, which the kernel spends
         # as cheap early-exited rounds once done
         budget = int(min(max_iterations, max(512, 2 * n)))
-        # native chain tail (big instances with host costs): probe with
-        # geometrically growing chunks to catch the bulk→war transition,
-        # then hand the warm state to the sequential FR engine — the
-        # war rounds are single chain links that cost a full streamed
-        # round on-device but one O(n) scan natively
-        tail_on = (
-            not _BIG_TAIL_DISABLE
-            and work_host is not None
-            and n == m
-            and n >= _BIG_TAIL_MIN_N
-        )
-        probe0 = (
-            int(min(budget, max(512, n // 4)))
-            if _BIG_TAIL_PROBE0 is None
-            else int(_BIG_TAIL_PROBE0)
-        )
+        # Device-only loop.  A dovetailed native chain-tail race lived
+        # here through round 3 (hand the endgame war to the sequential
+        # engine with a bounded pop budget); after the streaming
+        # kernel's hoisted-flags restructure it never won on any
+        # feasible size (exp_big_tail3: device-only stable at 2.06 s on
+        # the 8192² seed vs 1.9–4.1 s for the handoff under host load;
+        # 16384² tail loses outright), so the machinery was deleted in
+        # round 4 (VERDICT r3 item 6).  The sequential engine remains
+        # available as the plain `_cpu_tail_forward` fallback below and
+        # as the standalone `cpu_reference.fr_dense_finish_cpu` oracle.
         for bi in range(b):
             st = fr_init(values_t[bi], target_eps)
-            rounds_i = probe0 if tail_on else budget
-            # dovetailed engine race: each bounded native-tail attempt
-            # gets a pop budget worth the NEXT device chunk (priced with
-            # the measured per-round cost and a per-pop estimate that is
-            # calibrated upward on a miss); a miss re-enters the device
-            # loop from the native partial state.  Whichever engine the
-            # instance favors, the waste is bounded by ~2× its cost —
-            # measured: the sequential tail wins narrow wars (8192²
-            # seed: 2.2 s vs 3.8 s) and loses wide ones where lockstep
-            # rounds advance many chains at once (16384² seed: device
-            # 7 s vs 16–32 s unbounded tail).
-            tail_pops = 0
-            tail_scale = 1.0
-            tail_at = None
-            tail_done = False
-            p2o_h = None
             packed = None
             while True:
-                t_chunk = time.perf_counter()
-                prev_rounds = 0 if packed is None else int(packed[n])
                 st, _ = fr_big_chunk(
-                    values_t[bi], st, rounds_i, bm=bm, interpret=big_interp
+                    values_t[bi], st, budget, bm=bm, interpret=big_interp
                 )
-                packed = np.asarray(
-                    _fr_pack_single_tail(st)
-                    if tail_on
-                    else _fr_pack_single(st)
-                )
-                chunk_wall = time.perf_counter() - t_chunk
-                free = int(np.sum(packed[:n] == UNASSIGNED))
+                packed = np.asarray(_fr_pack_single(st))
                 trace_host(
-                    "fr big single {}: rounds={} done={} free={}",
-                    bi, int(packed[n]), bool(packed[n + 1]), free,
+                    "fr big single {}: rounds={} done={}",
+                    bi, int(packed[n]), bool(packed[n + 1]),
                 )
                 if packed[n + 1] or int(packed[n]) >= max_iterations:
                     break
-                next_rounds = min(2 * rounds_i, budget)
-                executed = int(packed[n]) - prev_rounds
-                if tail_on and free <= _BIG_TAIL_MAX_FREE and executed > 0:
-                    # cap the measured round cost at ~2× the streaming
-                    # bound so a compile-inflated first chunk cannot
-                    # hand the tail an unbounded budget
-                    sec_per_round = min(
-                        chunk_wall / executed, 100e-9 * n + 0.01
-                    )
-                    budget_sec = tail_scale * next_rounds * sec_per_round
-                    rc, p2o_h, o2p_h, prices_h, profits_h, pops, tail_at = (
-                        _fr_big_native_tail(
-                            work_host, bi, n, m, packed, tail_eps,
-                            budget_sec, at=tail_at,
-                        )
-                    )
-                    tail_pops += pops
-                    if rc == 0:
-                        tail_done = True
-                        break
-                    # missed: double the next budget (dovetail) and
-                    # resume the device from the partial state
-                    tail_scale *= 2.0
-                    st = _fr_state_from_host(
-                        p2o_h, o2p_h, prices_h, profits_h, target_eps,
-                        int(packed[n]), np_dtype,
-                    )
-                rounds_i = next_rounds
             out_eps[bi] = tail_eps
-            if tail_done:
-                out_p2o[bi] = np.where(p2o_h < 0, UNASSIGNED, p2o_h)
-                # rounds + native pops (docs/PARITY.md deviation 3)
-                out_nits[bi] = int(packed[n]) + tail_pops
-                out_o2p[bi] = o2p_from_p2o(out_p2o[bi], m)
-                continue
             out_p2o[bi] = packed[:n]
-            out_nits[bi] = int(packed[n]) + tail_pops
+            out_nits[bi] = int(packed[n])
             done = bool(packed[n + 1])
             if not done and work_host is not None:
                 costs_host, maximize = work_host

@@ -182,77 +182,6 @@ def test_fr_finish_native_warm_handoff():
     assert (chosen + 1e-3 >= prof.max(axis=1) - eps).all()
 
 
-def test_big_single_native_tail_routing(monkeypatch):
-    """End-to-end use_big route with the native chain tail engaged:
-    shrunk thresholds force the tail at a test size; the result must be
-    scipy-exact and the tail must actually have run."""
-    from scipy.optimize import linear_sum_assignment
-
-    from sparse_linear_assignment_tpu import batch as batch_mod
-
-    monkeypatch.setattr(batch_mod, "_BIG_INTERPRET_ON_CPU", True)
-    monkeypatch.setattr(batch_mod, "_BIG_MIN_ELEMS", 0)
-    monkeypatch.setattr(batch_mod, "_BIG_TAIL_MIN_N", 0)
-    monkeypatch.setattr(batch_mod, "_BIG_TAIL_PROBE0", 8)
-    calls = []
-    real_tail = batch_mod._fr_big_native_tail
-
-    def spy(*args, **kw):
-        out = real_tail(*args, **kw)
-        calls.append(out[0])  # rc
-        return out
-
-    monkeypatch.setattr(batch_mod, "_fr_big_native_tail", spy)
-    n = 256
-    rng = np.random.default_rng(5)
-    costs = rng.integers(1, 1000, size=(1, n, n)).astype(np.float64)
-    # integer=False: the integer-auction autodetect would route this to
-    # the fused-kernel path instead of the streaming big-single path
-    sol = batch_mod.solve_batch(
-        costs, solver="fr", dtype=np.float32, integer=False
-    )
-    assert calls and calls[-1] == 0, "native tail should run and complete"
-    assert int(sol.num_unassigned.sum()) == 0
-    r, c = linear_sum_assignment(costs[0])
-    assert float(sol.objective[0]) == costs[0][r, c].sum()
-
-
-def test_big_single_tail_miss_resumes_device(monkeypatch):
-    """A bounded tail attempt that runs out of its pop budget must
-    re-enter the device loop from the native partial state
-    (_fr_state_from_host) and still reach the exact optimum."""
-    from scipy.optimize import linear_sum_assignment
-
-    from sparse_linear_assignment_tpu import batch as batch_mod
-
-    monkeypatch.setattr(batch_mod, "_BIG_INTERPRET_ON_CPU", True)
-    monkeypatch.setattr(batch_mod, "_BIG_MIN_ELEMS", 0)
-    monkeypatch.setattr(batch_mod, "_BIG_TAIL_MIN_N", 0)
-    monkeypatch.setattr(batch_mod, "_BIG_TAIL_PROBE0", 8)
-    # 4-pop calibration chunk + zero remaining budget → guaranteed miss
-    monkeypatch.setattr(batch_mod, "_BIG_TAIL_CALIB_POPS", 4)
-    rcs = []
-    real_tail = batch_mod._fr_big_native_tail
-
-    def clamped(work_host, bi, n_, m_, packed, eps, budget_sec, at=None):
-        sec = 0.0 if not rcs else budget_sec
-        out = real_tail(work_host, bi, n_, m_, packed, eps, sec, at=at)
-        rcs.append(out[0])
-        return out
-
-    monkeypatch.setattr(batch_mod, "_fr_big_native_tail", clamped)
-    n = 256
-    rng = np.random.default_rng(9)
-    costs = rng.integers(1, 1000, size=(1, n, n)).astype(np.float64)
-    sol = batch_mod.solve_batch(
-        costs, solver="fr", dtype=np.float32, integer=False
-    )
-    assert rcs and rcs[0] == 1, "first attempt must miss"
-    assert int(sol.num_unassigned.sum()) == 0
-    r, c = linear_sum_assignment(costs[0])
-    assert float(sol.objective[0]) == costs[0][r, c].sum()
-
-
 def test_big_single_maximize(monkeypatch):
     """maximize=True through the streaming big-single path (the sign
     handling happens in solve_batch's staging before the kernel)."""
