@@ -45,9 +45,19 @@ if (
 # processes (override location with JAX_COMPILATION_CACHE_DIR, disable
 # with SLAP_TPU_NO_COMPILE_CACHE).
 if not os.environ.get("SLAP_TPU_NO_COMPILE_CACHE"):
+    # CPU-platform runs (tests, dryrun_multichip) cache separately:
+    # XLA:CPU entries are AOT machine code keyed to the build host's
+    # CPU features — on any other host they load with SIGILL-risk
+    # warnings and are useless.  The committed .jax_cache holds ONLY
+    # TPU programs, which are device code and transfer across hosts.
+    _default_cache = (
+        ".jax_cache_cpu"
+        if "cpu" in os.environ.get("JAX_PLATFORMS", "")
+        else ".jax_cache"
+    )
     _cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+        os.path.join(os.path.dirname(__file__), "..", _default_cache),
     )
     try:
         os.makedirs(_cache_dir, exist_ok=True)

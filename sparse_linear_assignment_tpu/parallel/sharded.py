@@ -27,6 +27,26 @@ read back per chunk.
 Validated on multi-device CPU meshes (the driver's `dryrun_multichip`
 path); multi-chip TPU hardware is not available in this environment, so
 ICI-scale measurement is future work.
+
+ICI cost model — per-round collective audit (counted from the traced
+jaxprs by ``experiments/exp_collective_audit.py``, pinned by
+``tests/test_sharded.py::test_collective_count_audit``):
+
+==================  =======================================  ==========
+mode                per ROUND                                per CHUNK
+==================  =======================================  ==========
+khosla (k-sparse)   5 all_gather ([M]x2+[N]x2+[M]) + 1 psum  1 psum
+forward (ε-scaled)  6 all_gather (adds the certificate
+                    price gather) + 2 psum                   —
+dense FR single     3 pmax + 4 pmin ([N] lane vectors)
+                    + 1 psum                                 —
+batched (data-par)  ZERO — instances are independent         1 psum
+                                                             (all-done)
+==================  =======================================  ==========
+
+The batched row is why the multi-chip stream projects ~linear: the
+only ICI traffic of the production program is one replicated scalar
+psum per chunk dispatch.
 """
 
 from __future__ import annotations

@@ -441,3 +441,146 @@ def test_sharded_batched_odd_n_int32_readback():
                 float(ssols[0].objective[bi])
                 - float(costs[bi][r, c].sum())
             ) < 1e-6, ("stream", n, bi)
+
+
+def test_sharded_stream_d1_vs_d8_bit_identical(monkeypatch):
+    """d=1 vs d=8 meshes must produce BIT-IDENTICAL p2o and objective
+    through the sharded stream + integer mode with the fused per-chip
+    kernel program (interpret on CPU) — the production multi-chip path.
+    This is the maximum multi-chip determinism evidence obtainable
+    without a real ICI slice (VERDICT r3 item 7)."""
+    import jax.numpy as jnp
+
+    from sparse_linear_assignment_tpu.parallel import (
+        sharded as sharded_mod,
+        solve_batch_sharded_stream,
+    )
+
+    monkeypatch.setattr(
+        sharded_mod, "_SHARDED_KERNEL_INTERPRET_ON_CPU", True
+    )
+    rng = np.random.default_rng(77)
+    n = 128
+    batches = [
+        rng.integers(1, 200, size=(8, n, n)).astype(np.float64)
+        for _ in range(2)
+    ]
+    devs = [jnp.asarray(bt.astype(np.float32)) for bt in batches]
+    sols1 = solve_batch_sharded_stream(
+        devs, make_mesh(1), integer=True, max_cost=200
+    )
+    sols8 = solve_batch_sharded_stream(
+        devs, make_mesh(8), integer=True, max_cost=200
+    )
+    for bt, s1, s8 in zip(batches, sols1, sols8):
+        assert int(np.asarray(s1.num_unassigned).sum()) == 0
+        assert np.array_equal(
+            np.asarray(s1.person_to_object), np.asarray(s8.person_to_object)
+        )
+        assert np.array_equal(
+            np.asarray(s1.objective), np.asarray(s8.objective)
+        )
+        r, c = linear_sum_assignment(bt[0])
+        assert abs(float(s1.objective[0]) - float(bt[0][r, c].sum())) < 1e-6
+
+
+def test_collective_count_audit():
+    """Pin the per-round ICI collective counts of every sharded mode
+    (the cost model documented in parallel/sharded.py's docstring).  A
+    regression that adds cross-device traffic to a round loop fails
+    here loudly."""
+    import sys
+
+    sys.path.insert(0, "experiments")
+    try:
+        import exp_collective_audit as audit
+    finally:
+        sys.path.pop(0)
+    import functools
+
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from sparse_linear_assignment_tpu.parallel import sharded as sh
+
+    S = jax.ShapeDtypeStruct
+    mesh = make_mesh(8)
+    f8 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    K, N, M, Kc = 2, 16, 16, 4
+
+    core = sh.sharded_khosla_core(mesh, chunk=4)
+    args = (
+        S((K, N), jnp.int32), S((K, N), f8), S((K, N), jnp.bool_),
+        S((Kc, M), jnp.int32), S((Kc, M), jnp.bool_),
+        S((M,), f8), S((N,), jnp.int32), S((M,), jnp.int32),
+        S((N,), jnp.bool_), S((), jnp.int32), S((), f8), S((), f8),
+    )
+    per_round, per_chunk = audit.count_collectives(
+        jax.make_jaxpr(core)(*args)
+    )
+    assert sum(per_round.values()) == 6, per_round   # 5 gathers + 1 psum
+    assert sum(per_chunk.values()) == 1, per_chunk
+
+    core = sh.sharded_forward_core(mesh, chunk=4)
+    args = (
+        S((K, N), jnp.int32), S((K, N), f8), S((K, N), jnp.bool_),
+        S((Kc, M), jnp.int32), S((Kc, M), jnp.bool_),
+        S((N,), jnp.bool_),
+        S((M,), f8), S((N,), jnp.int32), S((M,), jnp.int32),
+        S((), f8), S((), jnp.int32), S((), jnp.int32),
+        S((), jnp.bool_), S((), jnp.bool_),
+        S((), f8), S((), f8), S((), jnp.bool_), S((), jnp.int32),
+    )
+    per_round, per_chunk = audit.count_collectives(
+        jax.make_jaxpr(core)(*args)
+    )
+    assert sum(per_round.values()) == 8, per_round   # 6 gathers + 2 psums
+    assert sum(per_chunk.values()) == 0, per_chunk
+
+    core = sh.sharded_fr_dense_core(mesh, chunk=4)
+    N2 = 16
+    args = (
+        S((N2, N2), jnp.float32),
+        S((N2,), jnp.float32), S((N2,), jnp.int32),
+        S((N2,), jnp.float32), S((N2,), jnp.int32),
+        S((), jnp.bool_), S((), jnp.bool_), S((), jnp.int32),
+        S((), jnp.int32), S((), jnp.int32), S((), jnp.float32),
+    )
+    per_round, per_chunk = audit.count_collectives(
+        jax.make_jaxpr(core)(*args)
+    )
+    assert sum(per_round.values()) == 8, per_round   # 3 pmax + 4 pmin + psum
+    assert sum(per_chunk.values()) == 0, per_chunk
+
+    # batched data-parallel: ZERO per-round collectives, one per-chunk
+    # all-done psum — the linear-scaling claim's cost model
+    from sparse_linear_assignment_tpu.ops.fr_dense import FRState
+
+    bspec = P("shard")
+    fn = jax.shard_map(
+        functools.partial(
+            sh._fr_batch_chunk_local, chunk=4,
+            use_kernel=False, sched=None, interpret=False,
+        ),
+        mesh=mesh,
+        in_specs=(bspec, bspec, P(), P()),
+        out_specs=(bspec, P()),
+        check_vma=False,
+    )
+    b, n = 8, 16
+    states = FRState(
+        prices=S((b, n), jnp.float32), profits=S((b, n), jnp.float32),
+        p2o=S((b, n), jnp.int32), o2p=S((b, n), jnp.int32),
+        eps=S((b,), jnp.float32), forward_mode=S((b,), jnp.bool_),
+        since_inc=S((b,), jnp.int32), stall_k=S((b,), jnp.int32),
+        nits=S((b,), jnp.int32), nreductions=S((b,), jnp.int32),
+        optimal_found=S((b,), jnp.bool_), done=S((b,), jnp.bool_),
+    )
+    per_round, per_chunk = audit.count_collectives(
+        jax.make_jaxpr(jax.jit(fn))(
+            S((b, n, n), jnp.float32), states, S((), jnp.float32),
+            S((), jnp.int32),
+        )
+    )
+    assert sum(per_round.values()) == 0, per_round
+    assert sum(per_chunk.values()) == 1, per_chunk
