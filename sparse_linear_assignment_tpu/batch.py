@@ -423,21 +423,25 @@ def _fr_pack_results_with_objective(states: FRState, values_t, negate,
     return jnp.concatenate([packed, bits], axis=1)
 
 
-def _fr_fused_schedule(b: int, n: int, max_iterations: int):
-    """Round-budget schedule of the fused one-dispatch solve: a main
-    budget covering the p50..p97 of the heavy-tailed round distribution
-    (p50 ~136, p99 ~397, max ~950 at 256²), then two undone-first
-    continuation levels with geometrically deeper budgets on smaller
-    buckets (done instances exit their grid step, so deep budgets on
-    tiny buckets are nearly free)."""
+def _fr_fused_schedule(b: int, n: int, max_iterations: int) -> int:
+    """Round budget of the fused one-dispatch solve: 11n/10 main-phase
+    rounds (p50 ~136, p99 ~397 at 256²) plus 10× headroom for the
+    heavy-tailed stragglers (max observed ~2400), capped at
+    ``max_iterations``.  ONE deep budget for the whole batch: done
+    instances exit their grid step immediately, so the deep budget
+    costs only each straggler's real rounds.  (Through round 3 this was
+    a three-stage schedule — main budget + two argsort/gather
+    undone-first continuation buckets; the round-4 hardware A/B,
+    experiments/exp_single_deep.py, measured the single deep call
+    bit-identical and slightly faster, with two fewer compiled
+    programs and no reorder glue.)"""
+    del b
     budget = int(min(max_iterations, max(96, n + n // 4)))
-    bucket = max(128, 1 << max(0, (b // 16 - 1)).bit_length())
     budget2 = int(min(max(0, max_iterations - budget), 2 * budget))
-    bucket2 = min(32, bucket)
     budget3 = int(
         min(max(0, max_iterations - budget - budget2), 8 * budget)
     )
-    return budget, bucket, budget2, bucket2, budget3
+    return budget + budget2 + budget3
 
 
 def _fr_continue_bucket(values_t, states: FRState, bucket: int,
@@ -457,39 +461,6 @@ def _fr_continue_bucket(values_t, states: FRState, bucket: int,
     return jax.tree_util.tree_map(
         lambda full, small: full.at[idx].set(small), states, st_small
     )
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "budget", "bucket", "budget2", "bucket2", "budget3", "interpret"
-    ),
-)
-def _fr_solve_fused(
-    values_t, states: FRState, budget: int, bucket: int, budget2: int,
-    bucket2: int = 0, budget3: int = 0, interpret: bool = False,
-):
-    """Main multi-round kernel + TWO-LEVEL on-device straggler
-    continuation in one compiled program: after ``budget`` fused rounds,
-    the first ``bucket`` undone-first rows continue for ``budget2``
-    rounds, then the first ``bucket2`` for ``budget3`` more (the
-    heavy-tailed round distribution — p50 ~136, p99 ~820, max ~2400 at
-    256² — needs a deep budget for the last handful, and a finished
-    instance exits its grid step immediately, so deep budgets on small
-    buckets are nearly free).  This replaces the serial native-CPU
-    straggler tail (~5 ms/instance on this single-core host, ~0.3 s at
-    2048×256² in the round-2 driver session) with device work and zero
-    extra host syncs."""
-    states, _ = fr_chunk_pallas(values_t, states, budget, interpret)
-    if budget2 > 0:
-        states = _fr_continue_bucket(
-            values_t, states, bucket, budget2, interpret
-        )
-    if budget3 > 0 and bucket2 > 0:
-        states = _fr_continue_bucket(
-            values_t, states, bucket2, budget3, interpret
-        )
-    return states
 
 
 @jax.jit
@@ -747,18 +718,17 @@ def _solve_batch_fr(
         # the stragglers keep running fused rounds instead of a native
         # tail, and the objective rides the packed readback (evaluated
         # on device).
-        # second-level continuation: the worst observed straggler at
-        # 256² needs ~2400 rounds; a deep budget on a tiny bucket costs
-        # nearly nothing (done instances exit their grid step), and it
-        # empties the serial native tail at B=2048 (VERDICT r2 item 5)
-        budget, bucket, budget2, bucket2, budget3 = _fr_fused_schedule(
-            b, n, max_iterations
+        # the worst observed straggler at 256² needs ~2400 rounds; the
+        # deep budget covers it and empties the serial native tail
+        # (VERDICT r2 item 5) — done instances exit their grid step, so
+        # the depth costs only the stragglers' real rounds
+        # ONE deep-budget kernel dispatch (since round 4 — the former
+        # argsort/gather continuation schedule measured bit-identical
+        # and slightly slower, experiments/exp_single_deep.py)
+        rounds = _fr_fused_schedule(b, n, max_iterations)
+        states, _ = fr_chunk_pallas(
+            values_t, states, rounds, interpret=fr_interp,
         )
-        states = _fr_solve_fused(
-            values_t, states, budget, bucket, budget2, bucket2, budget3,
-            interpret=fr_interp,
-        )
-        rounds = budget + budget2 + budget3
         while True:
             if work_host is None:
                 packed = np.asarray(
@@ -1326,7 +1296,7 @@ def solve_batch_stream(
 
     ``device_batches`` is a sequence of device-resident ``[B, N, N]``
     cost arrays (all the same shape).  Each batch runs the fused
-    forward-reverse program (:func:`_fr_solve_fused`); up to ``window``
+    forward-reverse program (one deep-budget kernel call); up to ``window``
     batches are in flight at once, so the packed-result readback of
     batch *i* (~115 ms for 2 MB at B=4096 through this environment's
     tunnel — pure host-side wait) overlaps the device compute of batch
@@ -1391,8 +1361,7 @@ def solve_batch_stream(
         pad_b = max(
             _FR_B_BUCKET_FLOOR, 1 << max(0, int(b - 1).bit_length())
         )
-    sched = _fr_fused_schedule(pad_b, n, max_iterations)
-    base_rounds = sched[0] + sched[2] + sched[4]
+    base_rounds = _fr_fused_schedule(pad_b, n, max_iterations)
     start_eps = None  # staged once, shared across batches (same shape)
 
     def dispatch(dev):
@@ -1412,7 +1381,7 @@ def solve_batch_stream(
         st = _fr_batch_init(vt, start_eps)
         if pad_b > b:
             st = st._replace(done=jnp.asarray(np.arange(pad_b) >= b))
-        st = _fr_solve_fused(vt, st, *sched, interpret=interpret)
+        st, _ = fr_chunk_pallas(vt, st, base_rounds, interpret=interpret)
         packed = _fr_pack_results_with_objective(st, vt, negate)
         return vt, st, packed
 

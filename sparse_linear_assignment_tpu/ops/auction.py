@@ -542,7 +542,7 @@ def forward_solve(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
+@functools.partial(jax.jit, static_argnames=("chunk", "has_bound"))
 def forward_run_chunk(
     problem,
     state: ForwardState,
@@ -551,10 +551,21 @@ def forward_run_chunk(
     start_from_optimal_eps,
     max_iterations,
     chunk: int,
+    price_bound=None,
+    has_bound: bool = False,
 ):
     """``chunk`` forward rounds as a fixed-length scan (host-chunked
     driver; dynamic while_loop bodies blow up this TPU backend's
-    compiler)."""
+    compiler).
+
+    ``price_bound`` (with ``has_bound=True``) arms the infeasibility
+    certificate: a feasible instance's prices provably never exceed the
+    caller-computed Bertsekas bound, so crossing it sets ``done`` with
+    the matching incomplete — terminating infeasible instances in O(n)
+    rounds instead of burning ``max_iterations`` (an extension; the
+    reference's only cutoff is ``max_iterations``,
+    ``symmetric.rs:177-186``).  Checked once per CHUNK (one [M] max),
+    not per round, so detection lags at most one chunk."""
 
     def body(s, _):
         return (
@@ -566,6 +577,9 @@ def forward_run_chunk(
         )
 
     state, _ = lax.scan(body, state, None, length=chunk)
+    if has_bound:
+        diverged = jnp.max(state.prices) > price_bound
+        state = state._replace(done=state.done | diverged)
     return state
 
 
@@ -579,6 +593,7 @@ def forward_solve_chunked(
     chunk: int = 64,
     start_prices=None,
     max_chunk: int = 1024,
+    value_bound=None,
 ):
     """Host-driven forward solve: same semantics and return values as
     :func:`forward_solve`, structured as chunks of fixed-length scans.
@@ -586,7 +601,23 @@ def forward_solve_chunked(
     ``start_prices`` warm-starts the price vector (the reference's price
     persistence across ε-restarts, `symmetric.rs:290-324`, exposed as an
     argument — SURVEY.md §5.4); ε-CS optimality at termination holds for
-    any start prices on instances reaching a complete assignment."""
+    any start prices on instances reaching a complete assignment.
+
+    ``value_bound`` (C = max |value| over real arcs, host-known) arms an
+    **infeasibility certificate**: within one ε-phase started at prices
+    p, a feasible instance's prices never exceed ``max(p) + (2n-1)C +
+    (n-1)ε`` (Bertsekas' price bound for the auction algorithm, valid
+    for arbitrary start prices).  Across the ε-ladder the phase bounds
+    telescope, so the armed bound is ``max(p0) + (K+1)·(2n+1)(C+ε0) +
+    1`` with K an upper bound on the phase count (computed with ladder
+    factor 1/2 — the real ×0.15 ladder has fewer phases, so K is an
+    overcount and the bound stays sound).  Crossing it proves
+    infeasibility and the loop stops with the matching incomplete — a
+    few·n rounds at ladder ε instead of the reference's full
+    ``max_iterations`` crawl (its only cutoff, `symmetric.rs:177-186`;
+    measured 257 s on a 2x2 infeasible instance through this tunnel).
+    Sound by construction: it can never trip on a feasible instance,
+    so results there are unchanged."""
     dtype = problem.dtype
     np_dtype = np.dtype(dtype)
     n = problem.num_rows
@@ -609,6 +640,25 @@ def forward_solve_chunked(
     start_from_optimal_eps = np.bool_(start_from_optimal_eps)
     max_iterations_i = np.int32(max_iterations)
 
+    price_bound = None
+    if value_bound is not None:
+        p0_max = (
+            0.0 if start_prices is None
+            else float(np.max(np.asarray(start_prices)))
+        )
+        eps_hi = max(float(start_eps), float(target_eps))
+        ratio = float(start_eps) / max(float(target_eps), 1e-300)
+        phases = (
+            1 if ratio <= 1.0
+            else int(np.ceil(np.log2(max(ratio, 2.0)))) + 1
+        )
+        price_bound = np_dtype.type(
+            p0_max
+            + (phases + 1) * (2 * n + 1)
+            * (float(value_bound) + eps_hi)
+            + 1.0
+        )
+
     state = init
     # geometrically growing chunks: every host sync costs ~240 ms of
     # tunnel latency in this environment, so the done-check count must
@@ -618,6 +668,8 @@ def forward_solve_chunked(
         state = forward_run_chunk(
             problem, state, target_eps, toleration,
             start_from_optimal_eps, max_iterations_i, cur_chunk,
+            price_bound=price_bound,
+            has_bound=price_bound is not None,
         )
         cur_chunk = min(max_chunk, cur_chunk * 2)
     num_unassigned = jnp.sum(state.p2o == UNASSIGNED).astype(jnp.int32)

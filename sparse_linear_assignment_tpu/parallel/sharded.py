@@ -917,7 +917,7 @@ def solve_fr_dense_sharded(
 # ----------------------------------------------------------------------
 def _fr_batch_chunk_local(values_t, states, target_eps, max_iterations,
                           chunk: int, use_kernel: bool,
-                          sched: tuple | None = None,
+                          sched: int | None = None,
                           interpret: bool = False):
     """Per-device chunk of forward-reverse rounds over the local batch
     slice (instances are independent — the only collective is the
@@ -925,10 +925,9 @@ def _fr_batch_chunk_local(values_t, states, target_eps, max_iterations,
     resident multi-round kernel (ops/pallas_fr.py) on each device's
     slice — the same per-chip program as the single-chip fast path, so
     an 8-chip mesh scales its inst/s ~linearly; the XLA rounds remain
-    for CPU meshes and unsupported shapes.  ``sched`` (budget, bucket,
-    budget2, bucket2, budget3) runs the full fused schedule with
-    two-level undone-first continuation per device — the single-chip
-    one-dispatch protocol applied to each local slice."""
+    for CPU meshes and unsupported shapes.  ``sched`` (a deep round
+    budget) runs the single-chip one-dispatch protocol on each local
+    slice."""
     if use_kernel:
         from ..ops.pallas_fr import fr_chunk_pallas
 
@@ -936,10 +935,8 @@ def _fr_batch_chunk_local(values_t, states, target_eps, max_iterations,
         # finished instances leave their grid step early, so the large
         # budget costs only the stragglers' rounds
         if sched is not None:
-            from ..batch import _fr_solve_fused
-
-            states = _fr_solve_fused(
-                values_t, states, *sched, interpret=interpret
+            states, _ = fr_chunk_pallas(
+                values_t, states, sched, interpret=interpret
             )
         else:
             states, _ = fr_chunk_pallas(
@@ -971,7 +968,7 @@ def _fr_batch_chunk_local(values_t, states, target_eps, max_iterations,
 @functools.lru_cache(maxsize=8)
 def sharded_fr_batch_core(mesh: Mesh, chunk: int = 64,
                           use_kernel: bool = False,
-                          sched: tuple | None = None,
+                          sched: int | None = None,
                           interpret: bool = False):
     """Jitted multi-device batched forward-reverse chunk program: the
     batch dimension is sharded across the mesh, everything else is
@@ -1127,8 +1124,7 @@ def solve_batch_sharded(
     sched = None
     if use_kernel:
         # one-dispatch protocol (batch._solve_batch_fr fast path): the
-        # full fused schedule — main budget + two-level undone-first
-        # continuation — runs per device slice in ONE dispatch, then
+        # deep round budget runs per device slice in ONE dispatch, then
         # rare extra chunk dispatches mop up any survivors
         from ..batch import _fr_fused_schedule
 
@@ -1142,7 +1138,7 @@ def solve_batch_sharded(
         fused_core = sharded_fr_batch_core(mesh, chunk, True, sched,
                                            interpret=kern_interp)
         states, undone = fused_core(values_t, states, target_eps, maxit)
-        rounds += sched[0] + sched[2] + sched[4]
+        rounds += sched
     else:
         states, undone = core(values_t, states, target_eps, maxit)
         rounds += chunk
@@ -1287,7 +1283,7 @@ def solve_batch_sharded_stream(
         st = _fr_batch_init(vt, jnp.full(b_pad, target_eps, dtype))
         if use_kernel:
             st, _ = fused_core(vt, st, target_eps, maxit)
-            rounds = sched[0] + sched[2] + sched[4]
+            rounds = sched
         else:
             st, undone = core(vt, st, target_eps, maxit)
             rounds = chunk

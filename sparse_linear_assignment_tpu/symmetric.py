@@ -207,6 +207,7 @@ class ForwardAuctionSolver(AuctionSolver):
             start_from_optimal_eps,
             self.max_iterations,
             start_prices=start_prices,
+            value_bound=c,  # arms the infeasibility certificate
         )
         self.prices = np.asarray(prices, dtype=np.float64)
         solution.person_to_object = np.asarray(p2o)

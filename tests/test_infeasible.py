@@ -81,3 +81,49 @@ def test_forward_two_persons_one_object():
     solver.solve_with_params(solution, False, None, None, max_iterations=100)
     assert solution.num_unassigned == 1
     assert not solver.optimal_soln_found
+
+
+def test_forward_device_infeasibility_certificate_early_exit():
+    """The device forward engine detects infeasibility via the
+    Bertsekas price bound in a few*n rounds instead of crawling to
+    max_iterations (extension; measured 257 s on a 2x2 infeasible
+    instance through the TPU tunnel before this).  Pinned here: the
+    solve must stop far below max_iterations, with the matching
+    incomplete and optimal_soln_found False."""
+    from sparse_linear_assignment_tpu import ForwardAuctionSolver
+
+    solver, solution = ForwardAuctionSolver.new(2, 2, 2)
+    solver.init(2, 2)
+    # both persons want only object 0 -> no perfect matching; single-arc
+    # rows also force the DEVICE engine (the router's parity deviation)
+    solver.add_value(0, 0, 1.0)
+    solver.add_value(1, 0, 2.0)
+    solver.solve(solution, False)
+    assert solution.num_unassigned >= 1
+    assert not solver.optimal_soln_found
+    assert solver.nits < 10_000, solver.nits  # certificate, not cutoff
+
+
+def test_forward_feasible_unaffected_by_certificate():
+    """The price bound can never trip on feasible instances: a dense
+    feasible solve through the device engine reaches the same exact
+    objective as scipy."""
+    import numpy as np
+    from scipy.optimize import linear_sum_assignment
+
+    from sparse_linear_assignment_tpu import ForwardAuctionSolver
+
+    n = 24
+    rng = np.random.default_rng(17)
+    costs = rng.integers(1, 100, size=(n, n)).astype(np.float64)
+    solver, solution = ForwardAuctionSolver.new(n, n, n * n)
+    solver.init(n, n)
+    for i in range(n):
+        solver.extend_from_values(i, range(n), costs[i])
+    solver.solve_with_params(
+        solution, False, eps=1.0 / (n + 1), engine="device"
+    )
+    assert solution.num_unassigned == 0
+    r, c = linear_sum_assignment(costs)
+    got = solver.get_objective(solution)
+    assert abs(got - float(costs[r, c].sum())) < 1e-9

@@ -245,12 +245,10 @@ def test_kernel_solves_to_optimum_interpret_int():
         assert abs(got - want) < 1e-6, (bi, got, want)
 
 
-def test_fused_straggler_continuation_interpret():
-    """One compiled program: main budget + on-device undone-first
-    compaction + small-bucket continuation must solve instances the
-    main budget alone leaves unfinished, with no host round-trip."""
-    from sparse_linear_assignment_tpu.batch import _fr_solve_fused
-
+def test_fused_deep_budget_interpret():
+    """The one-dispatch fused solve (single deep budget since round 4,
+    experiments/exp_single_deep.py) must finish instances a short
+    budget leaves unfinished, exactly, with no host round-trip."""
     rng = np.random.default_rng(9)
     b, n = 8, 128
     costs = rng.integers(1, 100, size=(b, n, n)).astype(np.float64)
@@ -262,13 +260,11 @@ def test_fused_straggler_continuation_interpret():
     short, _ = fr_chunk_pallas(values_t, s0, 48, interpret=True)
     assert not bool(jnp.all(short.done)), "budget too generous for test"
 
-    states = _fr_solve_fused(values_t, s0, 48, 4, 640, interpret=True)
+    states, _ = fr_chunk_pallas(values_t, s0, 1024, interpret=True)
     done = np.asarray(states.done)
     p2o = np.asarray(states.p2o)
-    # every instance the bucket could cover must now be solved exactly
-    undone_after_main = int((~np.asarray(short.done)).sum())
-    assert done.sum() >= b - max(0, undone_after_main - 4)
-    for bi in np.nonzero(done)[0]:
+    assert done.all(), "deep budget must finish every instance"
+    for bi in range(b):
         r, c = linear_sum_assignment(costs[bi])
         want = costs[bi][r, c].sum()
         got = costs[bi][np.arange(n), p2o[bi]].sum()
