@@ -94,6 +94,7 @@ def main():
         S((), f8), S((), jnp.int32), S((), jnp.int32),
         S((), jnp.bool_), S((), jnp.bool_),
         S((), f8), S((), f8), S((), jnp.bool_), S((), jnp.int32),
+        S((), f8),  # price_bound (infeasibility certificate)
     )
     report("forward", chunk, count_collectives(jax.make_jaxpr(core)(*args)))
 

@@ -36,8 +36,9 @@ jaxprs by ``experiments/exp_collective_audit.py``, pinned by
 mode                per ROUND                                per CHUNK
 ==================  =======================================  ==========
 khosla (k-sparse)   5 all_gather ([M]x2+[N]x2+[M]) + 1 psum  1 psum
-forward (ε-scaled)  6 all_gather (adds the certificate
-                    price gather) + 2 psum                   —
+forward (ε-scaled)  6 all_gather (adds the ε-CS certificate
+                    price gather) + 3 psum (unassigned,
+                    ε-CS violations, price-divergence)       —
 dense FR single     3 pmax + 4 pmin ([N] lane vectors)
                     + 1 psum                                 —
 batched (data-par)  ZERO — instances are independent         1 psum
@@ -311,7 +312,7 @@ def solve_sharded_khosla(
 # ----------------------------------------------------------------------
 def _forward_round_body(
     row_cols, row_vals, row_mask, col_persons, col_mask, person_valid,
-    target_eps, toleration, sfoe, max_iterations, state,
+    target_eps, toleration, sfoe, max_iterations, price_bound, state,
 ):
     """One forward-auction round on this device's shards, including the
     replicated ε-scaling bookkeeping (TPU re-derivation of the reference
@@ -416,7 +417,19 @@ def _forward_round_body(
     o2p_out = jnp.where(reduce, _INT_MAX, o2p_new)
     nreductions_new = nreductions + reduce.astype(jnp.int32)
     optimal_new = optimal_found | (fully & is_optimal)
-    done_new = done | (fully & stop) | (nits_new >= max_iterations)
+    # infeasibility certificate (same phase-telescoped Bertsekas bound
+    # as ops/auction.py:forward_solve_chunked).  Counted over the LOCAL
+    # price shard and psum-merged: all_gather outputs are marked
+    # varying under shard_map's axis tracking, so a max over
+    # prices_full — though replicated in value — cannot feed the
+    # invariant `done` carry; the scalar psum keeps it provably
+    # replicated (+1 psum/round, see the collective audit).
+    diverged = lax.psum(
+        jnp.sum(prices_new > price_bound, dtype=jnp.int32), axis
+    ) > 0
+    done_new = (
+        done | (fully & stop) | diverged | (nits_new >= max_iterations)
+    )
     trace_round(
         "sharded forward round {} shard {}: eps={} reductions={} done={}",
         nits_new, idx, eps_new, nreductions_new, done_new,
@@ -430,7 +443,7 @@ def _forward_round_body(
 def _sharded_forward_chunk_shardmap(
     row_cols, row_vals, row_mask, col_persons, col_mask, person_valid,
     prices, p2o, o2p, eps, nits, nreductions, optimal_found, done,
-    target_eps, toleration, sfoe, max_iterations, chunk,
+    target_eps, toleration, sfoe, max_iterations, price_bound, chunk,
 ):
     state = (prices, p2o, o2p, eps, nits, nreductions, optimal_found, done)
 
@@ -439,7 +452,7 @@ def _sharded_forward_chunk_shardmap(
             _forward_round_body(
                 row_cols, row_vals, row_mask, col_persons, col_mask,
                 person_valid, target_eps, toleration, sfoe,
-                max_iterations, s,
+                max_iterations, price_bound, s,
             ),
             None,
         )
@@ -476,6 +489,7 @@ def sharded_forward_core(mesh: Mesh, chunk: int = 16):
             P(),            # toleration
             P(),            # sfoe
             P(),            # max_iterations
+            P(),            # price_bound
         ),
         out_specs=(
             P(axis), P(axis), P(axis), P(), P(), P(), P(), P(),
@@ -565,6 +579,17 @@ def solve_sharded_forward(
     tol_s = np_dtype.type(toleration)
     sfoe_s = np.bool_(sfoe)
     maxit_s = np.int32(max_iterations)
+    # infeasibility certificate: the same phase-telescoped Bertsekas
+    # bound as ops/auction.py:forward_solve_chunked (start prices 0)
+    eps_hi = max(eps0, target_eps)
+    ratio = eps0 / max(target_eps, 1e-300)
+    phases = (
+        1 if ratio <= 1.0
+        else int(np.ceil(np.log2(max(ratio, 2.0)))) + 1
+    )
+    bound_s = np_dtype.type(
+        (phases + 1) * (2 * solver.num_rows + 1) * (c + eps_hi) + 1.0
+    )
 
     while not bool(done):
         (prices, p2o, o2p, eps_s, nits,
@@ -572,7 +597,7 @@ def solve_sharded_forward(
             row_cols, row_vals, row_mask, col_persons, col_mask,
             person_valid, prices, p2o, o2p, eps_s, nits,
             nreductions, optimal_found, done,
-            target_s, tol_s, sfoe_s, maxit_s,
+            target_s, tol_s, sfoe_s, maxit_s, bound_s,
         )
 
     p2o = np.asarray(p2o)[: solver.num_rows]

@@ -81,7 +81,14 @@ class AuctionSolution:
         """Fresh solution in the reference's initial state
         (``solution.rs:46-53``): empty assignment vectors,
         ``num_unassigned`` at the sentinel, ``eps = NaN``."""
-        del row_capacity, column_capacity  # capacity hints are a no-op here
+        # Capacity hints are deliberately unused HERE: the assignment
+        # arrays are rebuilt by init_solve per solve (~50 us at n=1e5 —
+        # noise), and reusing buffers in place would mutate results a
+        # caller holds from a previous solve (warm starts pass
+        # solver.prices back in; see solver.init_solve).  The hints DO
+        # preallocate the solver-side CSR storage (solver.rs:9-13
+        # parity), where reallocation was measurable.
+        del row_capacity, column_capacity
         return cls(
             person_to_object=np.zeros(0, dtype=INDEX_DTYPE),
             object_to_person=np.zeros(0, dtype=INDEX_DTYPE),

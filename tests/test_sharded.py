@@ -530,11 +530,12 @@ def test_collective_count_audit():
         S((), f8), S((), jnp.int32), S((), jnp.int32),
         S((), jnp.bool_), S((), jnp.bool_),
         S((), f8), S((), f8), S((), jnp.bool_), S((), jnp.int32),
+        S((), f8),  # price_bound (infeasibility certificate)
     )
     per_round, per_chunk = audit.count_collectives(
         jax.make_jaxpr(core)(*args)
     )
-    assert sum(per_round.values()) == 8, per_round   # 6 gathers + 2 psums
+    assert sum(per_round.values()) == 9, per_round   # 6 gathers + 3 psums
     assert sum(per_chunk.values()) == 0, per_chunk
 
     core = sh.sharded_fr_dense_core(mesh, chunk=4)
@@ -584,3 +585,20 @@ def test_collective_count_audit():
     )
     assert sum(per_round.values()) == 0, per_round
     assert sum(per_chunk.values()) == 1, per_chunk
+
+
+def test_sharded_forward_infeasibility_certificate():
+    """The sharded forward engine stops on the Bertsekas price bound
+    (replicated, zero extra collectives) instead of crawling to
+    max_iterations on infeasible instances."""
+    from sparse_linear_assignment_tpu import ForwardAuctionSolver
+    from sparse_linear_assignment_tpu.parallel import solve_sharded_forward
+
+    solver, _ = ForwardAuctionSolver.new(2, 2, 2)
+    solver.init(2, 2)
+    solver.add_value(0, 0, 1.0)
+    solver.add_value(1, 0, 2.0)
+    sol, nits = solve_sharded_forward(solver, make_mesh(2))
+    assert sol.num_unassigned >= 1
+    assert not solver.optimal_soln_found
+    assert nits < 10_000, nits
