@@ -84,11 +84,13 @@ def bench_config_a(sizes=(1000, 5000, 10000)):
         if n <= 1000:
             fsolver, fsol = ForwardAuctionSolver.new(n, n, arcs)
             fsolver.init(n, n)
-            fsolver._i_starts_stops = list(solver.i_starts_stops)
-            fsolver._j_counts = list(solver.j_counts)
-            fsolver._column_indices = list(solver.column_indices)
-            fsolver._values = list(np.abs(solver.values))
-            fsolver.num_rows = fsolver.num_cols = n
+            # rebuild through the public bulk-ingest API (the round-4
+            # storage rewrite removed the private list attributes this
+            # block used to poke)
+            fsolver.extend_from_csr(
+                solver.j_counts, solver.column_indices,
+                np.abs(solver.values),
+            )
             fsolver.dtype = np.dtype(np.float32)
             t_tpu_f = median_time(
                 lambda: fsolver.solve(fsol, False, engine="device")

@@ -1,5 +1,11 @@
 """A/B: the 3-stage fused schedule vs ONE deep-budget kernel call.
 
+FROZEN MEASUREMENT RECORD (like exp_big_tail2/3): the A/B concluded in
+favor of the single deep call, which then SHIPPED — _fr_solve_fused and
+the 5-tuple _fr_fused_schedule this script compares against no longer
+exist, so re-running it raises.  The numbers it produced are in
+docs/PERFORMANCE.md (round 4) and BASELINE.md.
+
 Hypothesis (round 4): the two undone-first continuation stages
 (argsort + 14-leaf gather/scatter + 2 extra pallas dispatches) cost
 more than they save.  Done instances exit their grid step immediately,

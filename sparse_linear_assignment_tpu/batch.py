@@ -437,11 +437,9 @@ def _fr_fused_schedule(b: int, n: int, max_iterations: int) -> int:
     programs and no reorder glue.)"""
     del b
     budget = int(min(max_iterations, max(96, n + n // 4)))
-    budget2 = int(min(max(0, max_iterations - budget), 2 * budget))
-    budget3 = int(
-        min(max(0, max_iterations - budget - budget2), 8 * budget)
-    )
-    return budget + budget2 + budget3
+    # = main budget + the old 2x and 8x continuation depths, each
+    # clamped by max_iterations — closed form of that sum
+    return int(min(max_iterations, 11 * budget))
 
 
 def _fr_continue_bucket(values_t, states: FRState, bucket: int,

@@ -542,7 +542,7 @@ def forward_solve(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "has_bound"))
+@functools.partial(jax.jit, static_argnames=("chunk",))
 def forward_run_chunk(
     problem,
     state: ForwardState,
@@ -552,20 +552,21 @@ def forward_run_chunk(
     max_iterations,
     chunk: int,
     price_bound=None,
-    has_bound: bool = False,
 ):
     """``chunk`` forward rounds as a fixed-length scan (host-chunked
     driver; dynamic while_loop bodies blow up this TPU backend's
     compiler).
 
-    ``price_bound`` (with ``has_bound=True``) arms the infeasibility
+    ``price_bound`` (a scalar; ``None`` disarms) arms the infeasibility
     certificate: a feasible instance's prices provably never exceed the
     caller-computed Bertsekas bound, so crossing it sets ``done`` with
     the matching incomplete — terminating infeasible instances in O(n)
     rounds instead of burning ``max_iterations`` (an extension; the
     reference's only cutoff is ``max_iterations``,
     ``symmetric.rs:177-186``).  Checked once per CHUNK (one [M] max),
-    not per round, so detection lags at most one chunk."""
+    not per round, so detection lags at most one chunk.  The None-vs-
+    scalar pytree difference alone selects the program variant (None is
+    an empty pytree — a distinct trace)."""
 
     def body(s, _):
         return (
@@ -577,7 +578,7 @@ def forward_run_chunk(
         )
 
     state, _ = lax.scan(body, state, None, length=chunk)
-    if has_bound:
+    if price_bound is not None:
         diverged = jnp.max(state.prices) > price_bound
         state = state._replace(done=state.done | diverged)
     return state
@@ -669,7 +670,6 @@ def forward_solve_chunked(
             problem, state, target_eps, toleration,
             start_from_optimal_eps, max_iterations_i, cur_chunk,
             price_bound=price_bound,
-            has_bound=price_bound is not None,
         )
         cur_chunk = min(max_chunk, cur_chunk * 2)
     num_unassigned = jnp.sum(state.p2o == UNASSIGNED).astype(jnp.int32)

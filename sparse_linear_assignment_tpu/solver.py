@@ -168,6 +168,13 @@ class AuctionSolver:
             raise ValueError(
                 f"row {row} out of order (current row {current_row})"
             )
+        if columns.size and np.issubdtype(columns.dtype, np.number):
+            cmin, cmax = columns.min(), columns.max()
+            if not (-(2 ** 31) <= int(cmin) and int(cmax) < 2 ** 31):
+                # would silently wrap in the int32 store and could then
+                # dodge validate_input's range check (same guard as
+                # extend_from_csr; add_value raises via int() natively)
+                raise ValueError("column index out of int32 range")
         length_increment = len(columns)
         cumulative_offset = int(self._iss[current_row + 1]) + length_increment
         if row > current_row:
@@ -271,24 +278,44 @@ class AuctionSolver:
         return self._narcs
 
     # Array views of the CSR state (accessors in the reference trait).
-    # These are live views into the preallocated storage — zero-copy;
-    # mutations via the builder methods bump `_csr_version`, which is
-    # what device-staging caches key on.
+    # Zero-copy views into the preallocated storage, returned
+    # READ-ONLY: the device-staging caches key on `_csr_version`, so a
+    # silent external in-place edit would leave a stale staged problem
+    # (auction on old costs, objective on new — the review repro).
+    # Mutate through the builder methods or :meth:`map_values`.
+    @staticmethod
+    def _ro(view: np.ndarray) -> np.ndarray:
+        view.flags.writeable = False  # view-local; storage stays writable
+        return view
+
     @property
     def i_starts_stops(self) -> np.ndarray:
-        return self._iss[: self._nrows_built + 1]
+        return self._ro(self._iss[: self._nrows_built + 1])
 
     @property
     def j_counts(self) -> np.ndarray:
-        return self._jc[: self._nrows_built]
+        return self._ro(self._jc[: self._nrows_built])
 
     @property
     def column_indices(self) -> np.ndarray:
-        return self._cols[: self._narcs]
+        return self._ro(self._cols[: self._narcs])
 
     @property
     def values(self) -> np.ndarray:
-        return self._vals[: self._narcs]
+        return self._ro(self._vals[: self._narcs])
+
+    def map_values(self, func) -> None:
+        """Apply ``func`` to the stored arc values in place (e.g.
+        ``solver.map_values(np.floor)`` to make costs integral) and
+        invalidate any staged device problem.  This is the supported
+        mutation route — the ``values`` property is a read-only view
+        precisely so an untracked edit cannot leave stale device
+        state."""
+        vals = self._vals[: self._narcs]
+        out = func(vals)
+        if out is not vals:
+            vals[:] = out
+        self._csr_version += 1
 
     # ------------------------------------------------------------------
     # Lifecycle (C6: solver.rs:191-243)

@@ -229,9 +229,8 @@ def test_staged_cache_invalidated_by_value_mutation():
         solver.extend_from_values(i, list(range(n)), list(costs[i]))
     solver.solve(solution, False, eps=1.0 / (n + 1))
     obj1 = solver.get_objective(solution)
-    # mutate values in place (double them) and bump the version
-    solver.values[:] = solver.values * 2.0
-    solver._csr_version += 1
+    # mutate values through the supported route (doubling them)
+    solver.map_values(lambda v: v * 2.0)
     solver.solve(solution, False, eps=1.0 / (n + 1))
     obj2 = solver.get_objective(solution)
     assert obj2 == pytest.approx(2.0 * obj1, rel=1e-6)

@@ -74,8 +74,7 @@ def test_native_agrees_with_tpu_solver(seed):
         solver, solution = KhoslaSolver.new(num_rows, num_cols, num_rows * k)
         gen_ksparse_uniform(solver, seed, num_rows, num_cols, k, 10.0)
         # integer costs + eps < 1/n ⇒ both engines reach the exact optimum
-        np.floor(solver.values, out=solver.values)  # live view
-        solver._csr_version += 1  # invalidate any staged device problem
+        solver.map_values(np.floor)
         eps = 1.0 / (num_rows + 1)
         if engine == "cpu":
             sol, _ = khosla_solve_cpu(solver, False, eps=eps)

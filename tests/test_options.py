@@ -27,8 +27,7 @@ def test_float32_dtype_path(cls):
     n = 32
     solver, solution = cls.new(n, n, n * n, dtype=np.float32)
     gen_symmetric_input(solver, 21, n, 0.2, 1.0, 100.0)
-    np.floor(solver.values, out=solver.values)  # live view
-    solver._csr_version += 1  # invalidate any staged device problem
+    solver.map_values(np.floor)
     solver.solve(solution, False)
     assert solution.num_unassigned == 0
     got = solver.get_objective(solution)

@@ -85,8 +85,7 @@ def test_symmetric_integer_exact_optimal(cls, seed):
     gen_symmetric_input(solver, seed, n, density=0.2, min_value=500.0,
                         max_value=1000.0)
     # make values integral
-    np.floor(solver.values, out=solver.values)  # live view
-    solver._csr_version += 1  # invalidate any staged device problem
+    solver.map_values(np.floor)
     solver.solve(solution, False, eps=1.0 / (n + 1))
     assert solution.num_unassigned == 0
     got = solver.get_objective(solution)
