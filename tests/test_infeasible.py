@@ -127,3 +127,47 @@ def test_forward_feasible_unaffected_by_certificate():
     r, c = linear_sum_assignment(costs)
     got = solver.get_objective(solution)
     assert abs(got - float(costs[r, c].sum())) < 1e-9
+
+
+def test_certificate_fuzz_sound_and_live():
+    """Randomized soundness/liveness of the Bertsekas certificate:
+    feasible instances must NEVER false-trip (solve to completion);
+    Hall-violating instances must stop early with the matching
+    incomplete.  (120-case version ran clean on 2026-08-20; this keeps
+    a 36-case rotation in the suite.)"""
+    import numpy as np
+
+    from sparse_linear_assignment_tpu import ForwardAuctionSolver
+
+    rng = np.random.default_rng(0)
+    for trial in range(36):
+        n = int(rng.integers(3, 24))
+        infeasible = trial % 3 == 0
+        solver, sol = ForwardAuctionSolver.new(n, n, n * n)
+        solver.init(n, n)
+        if infeasible:
+            ncols_used = int(rng.integers(1, n))
+            for i in range(n):
+                k = int(rng.integers(1, ncols_used + 1))
+                cols = np.sort(
+                    rng.choice(ncols_used, size=k, replace=False)
+                )
+                solver.extend_from_values(i, cols, rng.uniform(0, 50, k))
+        else:
+            perm = rng.permutation(n)
+            for i in range(n):
+                extra = rng.choice(
+                    n, size=int(rng.integers(0, 4)), replace=False
+                )
+                cols = np.unique(np.concatenate([[perm[i]], extra]))
+                solver.extend_from_values(
+                    i, cols, rng.uniform(0, 50, cols.size)
+                )
+        solver.solve_with_params(sol, False, engine="device")
+        if infeasible:
+            assert sol.num_unassigned >= 1, trial
+            assert solver.nits < 100_000, trial
+        else:
+            assert sol.num_unassigned == 0, (
+                trial, "certificate false-tripped on a feasible instance"
+            )
