@@ -139,9 +139,15 @@ def test_certificate_fuzz_sound_and_live():
 
     from sparse_linear_assignment_tpu import ForwardAuctionSolver
 
+    import jax
+
     rng = np.random.default_rng(0)
     for trial in range(36):
-        n = int(rng.integers(3, 24))
+        # FIXED sizes: a random n per trial compiles ~100 fresh shapes
+        # and pushed the suite past vm.max_map_count (LLVM segfault
+        # late in the run — the CLAUDE.md mapping-exhaustion pitfall);
+        # random STRUCTURE at two shapes keeps the fuzz value
+        n = 8 if trial % 2 else 17
         infeasible = trial % 3 == 0
         solver, sol = ForwardAuctionSolver.new(n, n, n * n)
         solver.init(n, n)
@@ -171,3 +177,4 @@ def test_certificate_fuzz_sound_and_live():
             assert sol.num_unassigned == 0, (
                 trial, "certificate false-tripped on a feasible instance"
             )
+    jax.clear_caches()  # shed this test's compiled programs/mappings
