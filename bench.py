@@ -455,6 +455,26 @@ def main():
     total_miss = len(snap - start_entries)
     log(f"CACHE SUMMARY: {len(start_entries)} entries at start, "
         f"{total_miss} misses this run, {len(snap)} at end")
+    # Guard the committed cache against CPU-AOT pollution at the source:
+    # any entry THIS run wrote must be a TPU program (an XLA:CPU entry
+    # embeds the host ELF binary — host-feature-keyed, SIGILL risk on
+    # the driver host; tools/check_cache.py audits the whole dir).
+    try:
+        import os as _os
+
+        from tools.check_cache import classify_entries
+
+        new_cpu = [
+            f for f in classify_entries(_cache_dir())[0]
+            if _os.path.basename(f) in (snap - start_entries)
+        ]
+        if new_cpu:
+            log(f"CACHE WARNING: this run wrote {len(new_cpu)} XLA:CPU "
+                f"AOT entr{'y' if len(new_cpu) == 1 else 'ies'} into "
+                f"{_cache_dir()} — run tools/check_cache.py --clean "
+                f"before committing")
+    except Exception as e:  # the guard must never fail the bench
+        log(f"cache ELF guard skipped: {e!r}")
     print(json.dumps({
         "metric": "n1e5_k5_sparse_lap_speedup_vs_sequential_cpu",
         "value": round(speedup, 3),

@@ -1,4 +1,9 @@
-"""Measure the reworked FR kernel + fused straggler continuation."""
+"""Measure the reworked FR kernel + fused straggler continuation.
+
+FROZEN MEASUREMENT RECORD: imports the private _fr_solve_fused schedule
+helper that was DELETED when the single-deep dispatch shipped (round 4,
+exp_single_deep.py) — re-running raises ImportError by design; the
+numbers it produced live in docs/PERFORMANCE.md round-3 notes."""
 import time
 
 import numpy as np

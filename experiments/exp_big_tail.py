@@ -1,5 +1,10 @@
 """Price the native chain tail on big dense singles.
 
+FROZEN MEASUREMENT RECORD: pokes the private _BIG_TAIL_DISABLE hook of
+the in-driver tail race that was DELETED in round 4 — re-running fails
+by design; the measurement it backs is in docs/PERFORMANCE.md
+(round-3 fourth session) and its successor records are exp_big_tail2/3.
+
 Same instance through the streaming kernel with the tail disabled
 (pure-device war rounds) and enabled (probe chunks + sequential FR
 finish), plus the from-scratch native engine for reference.  Objectives

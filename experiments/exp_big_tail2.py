@@ -1,5 +1,9 @@
 """Per-phase telemetry of the big-single native chain tail.
 
+FROZEN MEASUREMENT RECORD: imports private tail helpers
+(_fr_big_native_tail, _fr_pack_single_tail) DELETED in round 4 —
+re-running raises by design; the numbers live in docs/PERFORMANCE.md.
+
 Replicates the batch.py use_big driver loop with explicit timing of
 every probe chunk (rounds, free count, wall) and of the native-tail
 entry/ finish phases, to locate where the wall clock goes at n >= 8192.

@@ -1,5 +1,9 @@
 """Clean tail-vs-device comparison: values staged once (upload excluded,
-the criterion setup/measure split), same instance, warm kernels."""
+the criterion setup/measure split), same instance, warm kernels.
+
+FROZEN MEASUREMENT RECORD: imports private tail helpers DELETED in
+round 4 — re-running raises by design; the final race numbers
+(device-only won at 8192²) are in docs/PERFORMANCE.md."""
 import sys
 import time
 

@@ -1,5 +1,11 @@
 """Decompose the device-resident batched e2e time at B=4096 int mode.
 
+FROZEN MEASUREMENT RECORD: imports the private _fr_solve_fused schedule
+helper DELETED when the single-deep dispatch shipped (round 4) —
+re-running raises by design; the decomposition it produced is in
+docs/PERFORMANCE.md (round-3 third session) and was superseded by
+exp_stage_cost.py.
+
 Where does 4096/5755 = 0.71 s go?  Kernel rounds model: mean_nits x
 0.665 us x 4096.  Candidates for the rest: staging, init, argsort/
 gather continuation stages, the ~2 MB packed readback through the

@@ -44,17 +44,38 @@ if (
 # minutes per cold compile of the solver loops; cache them across
 # processes (override location with JAX_COMPILATION_CACHE_DIR, disable
 # with SLAP_TPU_NO_COMPILE_CACHE).
+
+
+def _cpu_platform_selected() -> bool:
+    """True when this process is headed for the XLA:CPU backend.
+
+    Checks the jax.config value (which mirrors the env var and
+    reflects any ``jax.config.update("jax_platforms", "cpu")`` done
+    before this import — the outage-safe pattern whose env var stays
+    unset; keying on the env var alone let host-feature-keyed XLA:CPU
+    AOT entries leak into the committed TPU cache, ADVICE r4 #1).
+    ``jax_platforms`` is a PRIORITY list — this environment's default
+    is ``"axon,cpu"`` (TPU first, cpu fallback) — so only the FIRST
+    entry decides; a substring test would misroute every TPU process.
+    Code that flips the platform AFTER this import must use
+    :func:`force_cpu_platform` instead.
+    """
+    try:
+        plat = jax.config.jax_platforms or ""
+    except AttributeError:  # pragma: no cover - very old jax
+        plat = ""
+    plat = plat or os.environ.get("JAX_PLATFORMS", "")
+    first = plat.split(",")[0].strip().lower()
+    return first == "cpu"
+
+
 if not os.environ.get("SLAP_TPU_NO_COMPILE_CACHE"):
     # CPU-platform runs (tests, dryrun_multichip) cache separately:
     # XLA:CPU entries are AOT machine code keyed to the build host's
     # CPU features — on any other host they load with SIGILL-risk
     # warnings and are useless.  The committed .jax_cache holds ONLY
     # TPU programs, which are device code and transfer across hosts.
-    _default_cache = (
-        ".jax_cache_cpu"
-        if "cpu" in os.environ.get("JAX_PLATFORMS", "")
-        else ".jax_cache"
-    )
+    _default_cache = ".jax_cache_cpu" if _cpu_platform_selected() else ".jax_cache"
     _cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.dirname(__file__), "..", _default_cache),
@@ -94,6 +115,34 @@ __all__ = [
 ]
 
 __version__ = "0.1.0"
+
+
+def force_cpu_platform() -> None:
+    """Switch this process to the XLA:CPU platform AND repoint the
+    persistent compilation cache at the CPU-entry directory.
+
+    XLA:CPU persistent-cache entries are AOT machine code keyed to the
+    build host's CPU features; on any other host they load with
+    SIGILL-risk warnings.  A bare
+    ``jax.config.update("jax_platforms", "cpu")`` after this package
+    imported keeps the TPU cache dir selected at import time and
+    writes CPU entries into the committed ``.jax_cache`` — the
+    pollution found in the round-4 artifact.  Use this helper for any
+    post-import platform flip (only valid before first backend use,
+    like the underlying config update — importing this package does
+    NOT initialize a backend: the module-level device constants are
+    NumPy scalars precisely so an outage-time import cannot hang and
+    this helper still works after it).
+    """
+    jax.config.update("jax_platforms", "cpu")
+    _cur = jax.config.jax_compilation_cache_dir
+    if _cur and os.path.basename(os.path.normpath(_cur)) == ".jax_cache":
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(
+                os.path.dirname(os.path.normpath(_cur)), ".jax_cache_cpu"
+            ),
+        )
 
 
 def __getattr__(name):

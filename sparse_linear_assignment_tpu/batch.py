@@ -37,7 +37,7 @@ from .ops.pallas_fr_big import fr_big_chunk
 from .solution import UNASSIGNED, o2p_from_p2o
 from .utils.trace import trace_host
 
-_INT_MAX = jnp.int32(UNASSIGNED)
+_INT_MAX = np.int32(UNASSIGNED)  # np scalar: no backend init at import
 
 #: test hook — route the big-single streaming kernel through interpret
 #: mode on the CPU backend (tests/test_fr_big.py exercises the kernel

@@ -18,6 +18,8 @@
 
 #include <cstdint>
 #include <cmath>
+#include <cstdio>
+#include <cstdlib>
 #include <limits>
 #include <vector>
 
@@ -25,6 +27,32 @@ namespace {
 
 constexpr double kNegInf = -std::numeric_limits<double>::infinity();
 constexpr double kPosInf = std::numeric_limits<double>::infinity();
+
+// Env-gated stderr tracing — the native analogue of the reference's
+// `tracing` crate call sites, which are compiled out of release builds
+// (Cargo.toml:18-19) and dump per-pop state in the hot loops
+// (ksparse.rs:182,189-190,216,232,246-248; symmetric.rs:406-407,
+// 465-467).  SLAP_NATIVE_TRACE=1: per-phase summaries; =2: every-K-pop
+// state lines (K = SLAP_NATIVE_TRACE_EVERY, default 65536); =3: every
+// pop.  The level latches on first use; when unset the per-pop cost is
+// one predicted-not-taken branch on a hoisted bool — no measurable
+// delta on the ~70 ns/pop loops (verified against baseline_cpu rows).
+inline int trace_level() {
+  static const int level = [] {
+    const char* e = std::getenv("SLAP_NATIVE_TRACE");
+    return e ? std::atoi(e) : 0;
+  }();
+  return level;
+}
+
+inline int64_t trace_every() {
+  static const int64_t every = [] {
+    const char* e = std::getenv("SLAP_NATIVE_TRACE_EVERY");
+    const int64_t v = e ? std::atoll(e) : 65536;
+    return v > 0 ? v : 65536;
+  }();
+  return every;
+}
 
 // Best and second-best profit over one person's arcs.
 struct Choice {
@@ -131,6 +159,16 @@ int slap_khosla_finish(int64_t n_rows, int64_t n_cols, const int64_t* starts,
     if (p2o[i] < 0 && !dropped[i]) stack.push_back(static_cast<int32_t>(i));
   }
 
+  const int tr = trace_level();  // hoisted: zero-cost branch when 0
+  const int64_t tr_k = trace_every();
+  if (tr >= 1) {
+    std::fprintf(stderr,
+                 "[slap.native] khosla_finish start: n=%lld m=%lld "
+                 "warm_free=%zu eps=%g threshold=%g\n",
+                 (long long)n_rows, (long long)n_cols, stack.size(),
+                 eps, threshold);
+  }
+
   int64_t nits = 0;
   while (!stack.empty()) {
     const int32_t u = stack.back();
@@ -139,8 +177,23 @@ int slap_khosla_finish(int64_t n_rows, int64_t n_cols, const int64_t* starts,
 
     const Choice c = scan_row(starts, cols, vals, prices, u);
     const int32_t v = c.best_col;
+    if (tr >= 3 || (tr == 2 && nits % tr_k == 0)) {
+      // per-pop state dump (ksparse.rs:189-190,216: person, choice,
+      // best/second profit, current price of the chosen object)
+      std::fprintf(stderr,
+                   "[slap.native] pop=%lld u=%d v=%d best=%g second=%g "
+                   "price_v=%g stack=%zu\n",
+                   (long long)nits, u, v, c.best_profit, c.second_profit,
+                   prices[v], stack.size());
+    }
     if (prices[v] > threshold) {
       dropped[u] = 1;  // drop rule: u stays unassigned
+      if (tr >= 2) {
+        std::fprintf(stderr,
+                     "[slap.native] pop=%lld DROP u=%d (price %g > "
+                     "threshold %g)\n",
+                     (long long)nits, u, prices[v], threshold);
+      }
       continue;
     }
 
@@ -157,6 +210,14 @@ int slap_khosla_finish(int64_t n_rows, int64_t n_cols, const int64_t* starts,
     }
     p2o[u] = v;
     o2p[v] = u;
+  }
+  if (tr >= 1) {
+    int64_t unassigned = 0;
+    for (int64_t i = 0; i < n_rows; ++i) unassigned += p2o[i] < 0;
+    std::fprintf(stderr,
+                 "[slap.native] khosla_finish done: pops=%lld "
+                 "unassigned=%lld\n",
+                 (long long)nits, (long long)unassigned);
   }
   *nits_out = nits;
   return 0;
@@ -187,6 +248,17 @@ int slap_khosla_solve(int64_t n_rows, int64_t n_cols, const int64_t* starts,
   for (int64_t i = n_rows - 1; i >= 0; --i)
     stack.push_back(static_cast<int32_t>(i));
 
+  const int tr = trace_level();  // hoisted: zero-cost branch when 0
+  const int64_t tr_k = trace_every();
+  if (tr >= 1) {
+    // pre-loop state (ksparse.rs:182: eps, w span, threshold)
+    std::fprintf(stderr,
+                 "[slap.native] khosla_solve start: n=%lld m=%lld "
+                 "arcs=%lld eps=%g w_span=[%g,%g] threshold=%g\n",
+                 (long long)n_rows, (long long)n_cols, (long long)nnz,
+                 eps, w_min, w_max, threshold);
+  }
+
   int64_t nits = 0;
   while (!stack.empty()) {
     const int32_t u = stack.back();
@@ -195,7 +267,23 @@ int slap_khosla_solve(int64_t n_rows, int64_t n_cols, const int64_t* starts,
 
     const Choice c = scan_row(starts, cols, vals, prices, u);
     const int32_t v = c.best_col;
-    if (prices[v] > threshold) continue;  // drop rule: u stays unassigned
+    if (tr >= 3 || (tr == 2 && nits % tr_k == 0)) {
+      // per-pop state dump (ksparse.rs:189-190,216)
+      std::fprintf(stderr,
+                   "[slap.native] pop=%lld u=%d v=%d best=%g second=%g "
+                   "price_v=%g stack=%zu\n",
+                   (long long)nits, u, v, c.best_profit, c.second_profit,
+                   prices[v], stack.size());
+    }
+    if (prices[v] > threshold) {
+      if (tr >= 2) {
+        std::fprintf(stderr,
+                     "[slap.native] pop=%lld DROP u=%d (price %g > "
+                     "threshold %g)\n",
+                     (long long)nits, u, prices[v], threshold);
+      }
+      continue;  // drop rule: u stays unassigned
+    }
 
     if (std::isfinite(c.second_profit)) {
       prices[v] = c.best_value - c.second_profit + eps;
@@ -210,6 +298,15 @@ int slap_khosla_solve(int64_t n_rows, int64_t n_cols, const int64_t* starts,
     }
     p2o[u] = v;
     o2p[v] = u;
+  }
+  if (tr >= 1) {
+    // final summary (ksparse.rs:246-248: nits, unassigned count)
+    int64_t unassigned = 0;
+    for (int64_t i = 0; i < n_rows; ++i) unassigned += p2o[i] < 0;
+    std::fprintf(stderr,
+                 "[slap.native] khosla_solve done: pops=%lld "
+                 "unassigned=%lld\n",
+                 (long long)nits, (long long)unassigned);
   }
   *nits_out = nits;
   return 0;
@@ -274,9 +371,26 @@ int slap_fr_dense_finish(int64_t n, int64_t m, const double* a,
     if (o2p[j] < 0) free_o.push_back(static_cast<int32_t>(j));
   }
 
+  const int tr = trace_level();  // hoisted: zero-cost branch when 0
+  const int64_t tr_k = trace_every();
+  if (tr >= 1) {
+    std::fprintf(stderr,
+                 "[slap.native] fr_dense_finish start: n=%lld m=%lld "
+                 "cardinality=%lld free_p=%zu free_o=%zu eps=%g\n",
+                 (long long)n, (long long)m, (long long)cardinality,
+                 free_p.size(), free_o.size(), eps);
+  }
+
   bool forward = true;
   int64_t since_inc = 0, stall_k = 8, pops = 0;
   while (cardinality < n) {
+    if (tr >= 3 || (tr == 2 && pops > 0 && pops % tr_k == 0)) {
+      std::fprintf(stderr,
+                   "[slap.native] fr pop=%lld mode=%s cardinality=%lld "
+                   "stall_k=%lld\n",
+                   (long long)pops, forward ? "fwd" : "rev",
+                   (long long)cardinality, (long long)stall_k);
+    }
     if (pops >= max_pops) {
       *pops_out = pops;
       return 1;
@@ -352,6 +466,12 @@ int slap_fr_dense_finish(int64_t n, int64_t m, const double* a,
       stall_k *= 2;
     }
   }
+  if (tr >= 1) {
+    std::fprintf(stderr,
+                 "[slap.native] fr_dense_finish done: pops=%lld "
+                 "cardinality=%lld\n",
+                 (long long)pops, (long long)cardinality);
+  }
   *pops_out = pops;
   return 0;
 }
@@ -397,6 +517,18 @@ int slap_forward_solve(int64_t n_rows, int64_t n_cols, const int64_t* starts,
   int64_t nits = 0, nreductions = 0;
   bool optimal = false;
 
+  const int tr = trace_level();  // hoisted: zero-cost branch when 0
+  const int64_t tr_k = trace_every();
+  if (tr >= 1) {
+    // phase entry (symmetric.rs:247,249,264: C, eps schedule, target)
+    std::fprintf(stderr,
+                 "[slap.native] forward_solve start: n=%lld m=%lld "
+                 "arcs=%lld c_max=%g start_eps=%g target_eps=%g "
+                 "scaling=%d\n",
+                 (long long)n_rows, (long long)n_cols, (long long)nnz,
+                 c_max, eps, target_eps, from_optimal_eps ? 0 : 1);
+  }
+
   while (true) {
     // --- one Jacobi round: every unassigned person bids ---
     std::vector<int32_t> touched;
@@ -427,6 +559,13 @@ int slap_forward_solve(int64_t n_rows, int64_t n_cols, const int64_t* starts,
       if (p2o[i] < 0) unassigned.push_back(static_cast<int32_t>(i));
     }
     ++nits;
+    if (tr >= 3 || (tr == 2 && nits % tr_k == 0)) {
+      // per-round state (symmetric.rs:406-407,465-467: round,
+      // unassigned count, current eps)
+      std::fprintf(stderr,
+                   "[slap.native] fwd round=%lld unassigned=%zu eps=%g\n",
+                   (long long)nits, unassigned.size(), eps);
+    }
 
     if (unassigned.empty()) {
       const bool is_optimal =
@@ -439,6 +578,13 @@ int slap_forward_solve(int64_t n_rows, int64_t n_cols, const int64_t* starts,
       if (eps < target_eps) break;  // optimal for eps < 1/n
       eps *= 0.15;
       ++nreductions;
+      if (tr >= 1) {
+        // ε-reduction event (symmetric.rs:297: kept prices, new eps)
+        std::fprintf(stderr,
+                     "[slap.native] fwd eps-reduction %lld: eps=%g "
+                     "after round %lld\n",
+                     (long long)nreductions, eps, (long long)nits);
+      }
       for (int64_t i = 0; i < n_rows; ++i) p2o[i] = -1;
       for (int64_t j = 0; j < n_cols; ++j) o2p[j] = -1;
       unassigned.clear();
@@ -448,6 +594,13 @@ int slap_forward_solve(int64_t n_rows, int64_t n_cols, const int64_t* starts,
     if (nits >= max_iterations) break;
   }
 
+  if (tr >= 1) {
+    std::fprintf(stderr,
+                 "[slap.native] forward_solve done: rounds=%lld "
+                 "reductions=%lld optimal=%d final_eps=%g\n",
+                 (long long)nits, (long long)nreductions,
+                 optimal ? 1 : 0, eps);
+  }
   *nits_out = nits;
   *nreductions_out = nreductions;
   *optimal_out = optimal ? 1 : 0;

@@ -45,7 +45,7 @@ from ..utils.trace import trace_round
 from .dense import DenseProblem
 from .padded import PaddedProblem
 
-_INT_MAX = jnp.int32(UNASSIGNED)
+_INT_MAX = np.int32(UNASSIGNED)  # np scalar: no backend init at import
 
 
 # ----------------------------------------------------------------------
@@ -653,12 +653,32 @@ def forward_solve_chunked(
             1 if ratio <= 1.0
             else int(np.ceil(np.log2(max(ratio, 2.0)))) + 1
         )
-        price_bound = np_dtype.type(
-            p0_max
-            + (phases + 1) * (2 * n + 1)
-            * (float(value_bound) + eps_hi)
+        # Telescoped Bertsekas bound, computed in float64; if it is not
+        # representable in the working dtype (extreme n*C in float32)
+        # the certificate is DISARMED LOUDLY rather than silently (an
+        # inf bound can never trip, which would revert to the
+        # max_iterations crawl with no warning — ADVICE r4 #5).
+        # Clamping down instead would risk tripping on a feasible
+        # instance, so soundness demands the disarm.
+        bound64 = (
+            float(p0_max)
+            + float(phases + 1) * float(2 * n + 1)
+            * (float(value_bound) + float(eps_hi))
             + 1.0
         )
+        price_bound = np_dtype.type(bound64)
+        if not np.isfinite(price_bound):
+            import warnings
+
+            warnings.warn(
+                f"infeasibility-certificate price bound {bound64:.3e} "
+                f"overflows {np_dtype.name}; certificate disarmed — "
+                f"infeasible instances will run to max_iterations "
+                f"(use dtype=float64 to keep it armed)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            price_bound = None
 
     state = init
     # geometrically growing chunks: every host sync costs ~240 ms of

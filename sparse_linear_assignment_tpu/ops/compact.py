@@ -43,7 +43,7 @@ from ..utils.trace import trace_round
 from .padded import PaddedProblem
 from .prefix import compact_indices
 
-_INT_MAX = jnp.int32(UNASSIGNED)
+_INT_MAX = np.int32(UNASSIGNED)  # np scalar: no backend init at import
 
 
 class LState(NamedTuple):

@@ -43,12 +43,13 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..solution import UNASSIGNED
 from ..utils.trace import trace_round
 
-_INT_MAX = jnp.int32(UNASSIGNED)
+_INT_MAX = np.int32(UNASSIGNED)  # np scalar: no backend init at import
 
 #: "minus infinity" for the integer-auction mode (values/prices in
 #: scaled int32 arithmetic): far below any reachable profit, far above

@@ -66,7 +66,7 @@ from ..solution import INDEX_DTYPE, UNASSIGNED, o2p_from_p2o
 from ..solver import AuctionSolver
 from ..utils.trace import trace_host, trace_round
 
-_INT_MAX = jnp.int32(UNASSIGNED)
+_INT_MAX = np.int32(UNASSIGNED)  # np scalar: no backend init at import
 
 #: test hook — run the per-chip fused FR kernel inside the sharded
 #: batched cores in interpret mode on CPU meshes, where the kernel

@@ -313,7 +313,17 @@ class AuctionSolver:
         state."""
         vals = self._vals[: self._narcs]
         out = func(vals)
-        if out is not vals:
+        # Accept both conventions: a func that mutated its argument in
+        # place and returned None, and one that returned a new array.
+        # A scalar / wrong-shape return would silently broadcast over
+        # every arc value — reject it instead (ADVICE r4 #2).
+        if out is not None and out is not vals:
+            out = np.asarray(out)
+            if out.shape != vals.shape:
+                raise ValueError(
+                    f"map_values func returned shape {out.shape}, "
+                    f"expected {vals.shape} (or None for in-place)"
+                )
             vals[:] = out
         self._csr_version += 1
 

@@ -234,3 +234,23 @@ def test_staged_cache_invalidated_by_value_mutation():
     solver.solve(solution, False, eps=1.0 / (n + 1))
     obj2 = solver.get_objective(solution)
     assert obj2 == pytest.approx(2.0 * obj1, rel=1e-6)
+
+
+def test_map_values_inplace_and_shape_guard():
+    """map_values accepts an in-place func returning None and rejects a
+    scalar return (which would silently broadcast) — ADVICE r4 #2."""
+    solver, _ = KhoslaSolver.new(2, 2, 4)
+    solver.init(2, 2)
+    solver.extend_from_values(0, [0, 1], [1.5, 2.5])
+    solver.extend_from_values(1, [0, 1], [3.5, 4.5])
+
+    def floor_inplace(v):
+        np.floor(v, out=v)  # mutates, returns None via the test wrapper
+
+    solver.map_values(lambda v: floor_inplace(v))
+    assert list(solver.values) == [1.0, 2.0, 3.0, 4.0]
+
+    with pytest.raises(ValueError, match="shape"):
+        solver.map_values(lambda v: 7.0)
+    # values untouched by the rejected call
+    assert list(solver.values) == [1.0, 2.0, 3.0, 4.0]

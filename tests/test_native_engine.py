@@ -1,6 +1,8 @@
 """Native C++ sequential engine: correctness vs scipy oracle and
 cross-agreement with the TPU solvers."""
 
+import os
+
 import numpy as np
 import pytest
 from scipy.optimize import linear_sum_assignment
@@ -107,3 +109,51 @@ def test_native_forward_max_iterations():
     assert nits == 500
     assert not optimal
     assert solution.num_unassigned == 1
+
+
+def test_native_trace_env_gated(tmp_path):
+    """SLAP_NATIVE_TRACE emits stderr state lines from the native hot
+    loops (reference trace-site parity, ksparse.rs:182,189-190,246-248;
+    VERDICT r4 item 6).  The level latches at first native call, so the
+    probe runs in a subprocess."""
+    import subprocess
+    import sys
+
+    code = (
+        "import numpy as np\n"
+        "from sparse_linear_assignment_tpu import KhoslaSolver\n"
+        "from sparse_linear_assignment_tpu.cpu_reference import"
+        " khosla_solve_cpu, forward_solve_cpu\n"
+        "from sparse_linear_assignment_tpu.generators import"
+        " gen_symmetric_input\n"
+        "s, _ = KhoslaSolver.new(64, 64, 64 * 64)\n"
+        "gen_symmetric_input(s, 5, 64, 0.2, 0.0, 10.0)\n"
+        "sol, nits = khosla_solve_cpu(s)\n"
+        "assert sol.num_unassigned == 0\n"
+        "sol2, nits2, _, _ = forward_solve_cpu(s)\n"
+        "print('PROBE_DONE', nits, nits2)\n"
+    )
+    env = dict(os.environ)
+    env["SLAP_NATIVE_TRACE"] = "2"
+    env["SLAP_NATIVE_TRACE_EVERY"] = "16"
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env=env, timeout=300,
+    )
+    assert "PROBE_DONE" in out.stdout, (out.stdout, out.stderr[-2000:])
+    err = out.stderr
+    assert "[slap.native] khosla_solve start:" in err, err[-2000:]
+    assert "[slap.native] khosla_solve done:" in err
+    assert "[slap.native] pop=" in err  # every-K-pops state lines
+    assert "[slap.native] forward_solve start:" in err
+    assert "[slap.native] forward_solve done:" in err
+
+    # and OFF by default: no trace output without the env var
+    env.pop("SLAP_NATIVE_TRACE")
+    env.pop("SLAP_NATIVE_TRACE_EVERY")
+    out2 = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env=env, timeout=300,
+    )
+    assert "PROBE_DONE" in out2.stdout
+    assert "[slap.native]" not in out2.stderr
