@@ -246,11 +246,60 @@ def bench_batched_vs_native(batch=512, n=256):
     return [row]
 
 
+def bench_batched_sparse(batch=2048, n=128, m=512, k=8):
+    """The batched SPARSE workload both ways (VERDICT r4 item 1): the
+    reference's own k-regular domain (`ksparse.rs:9-19`) at batch
+    scale — TPU fused Khosla kernel on staged densified planes vs the
+    native sequential engine solving the same instances one-by-one
+    (per-instance extrapolation from a subsample, solve walls only)."""
+    from sparse_linear_assignment_tpu import KhoslaSolver
+    from sparse_linear_assignment_tpu.batch import (
+        _sparse_dispatch,
+        _sparse_finish,
+        stage_batch_sparse,
+    )
+    from sparse_linear_assignment_tpu.cpu_reference import khosla_solve_cpu
+    from sparse_linear_assignment_tpu.generators import gen_batch_ksparse
+
+    columns, values = gen_batch_ksparse(99, batch, n, m, k)
+    eps = 1.0 / m
+    st = stage_batch_sparse(columns, values, m, eps=eps)
+    t_tpu = median_time(
+        lambda: _sparse_finish(st, _sparse_dispatch(st, 16), 10_000_000)
+    )
+
+    sub = 48
+    solver, _ = KhoslaSolver.new(n, m, n * k)
+    walls = []
+    for bi in range(sub):
+        solver.init(n, m)
+        mask = columns[bi] >= 0
+        solver.extend_from_csr(
+            mask.sum(axis=1), columns[bi][mask].astype(np.int64),
+            values[bi][mask],
+        )
+        t0 = time.perf_counter()
+        khosla_solve_cpu(solver, eps=eps)
+        walls.append(time.perf_counter() - t0)
+    t_cpu = float(np.median(walls)) * batch
+
+    row = {
+        "config": f"batched-sparse {batch}x({n}x{m} k={k})",
+        "tpu_s": t_tpu, "tpu_inst_per_s": batch / t_tpu,
+        "native_khosla_s_extrap": t_cpu,
+        "native_inst_per_s": batch / t_cpu,
+        "speedup": t_cpu / t_tpu,
+    }
+    log(json.dumps(row))
+    return [row]
+
+
 def main():
     quick = "--quick" in sys.argv
     out = {}
     out["dense_single"] = bench_dense_single()
     out["batched"] = bench_batched_vs_native()
+    out["batched_sparse"] = bench_batched_sparse()
     out["config_a"] = bench_config_a((1000,) if quick else (1000, 5000, 10000))
     out["config_b"] = [] if quick else bench_config_b()
     text = json.dumps(out, indent=1)

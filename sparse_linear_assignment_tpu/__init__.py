@@ -110,6 +110,9 @@ __all__ = [
     "solve_batch",
     "solve_batch_stream",
     "solve_batch_sparse",
+    "solve_batch_sparse_stream",
+    "stage_batch_sparse",
+    "stage_batch_sparse_device",
     "BatchedLAP",
     "linear_sum_assignment",
 ]
@@ -151,6 +154,9 @@ def __getattr__(name):
         "solve_batch",
         "solve_batch_stream",
         "solve_batch_sparse",
+        "solve_batch_sparse_stream",
+        "stage_batch_sparse",
+        "stage_batch_sparse_device",
         "BatchedLAP",
         "linear_sum_assignment",
     ):

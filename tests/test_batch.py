@@ -720,3 +720,219 @@ def test_linear_sum_assignment_promotes_past_f32_mantissa():
     r, cc = lsa_tpu(c)
     sr, sc = linear_sum_assignment(c)
     assert abs(c[r, cc].sum() - c[sr, sc].sum()) < 1e-9
+
+
+def test_batch_sparse_dense_engine_vs_oracle_and_padded():
+    """The gather-free densified batch-sparse engine (the TPU fast
+    path, VERDICT r4 item 1) must be eps-optimal vs the scipy oracle
+    and agree with the padded-gather engine on objectives, unassigned
+    counts, and round counts of every instance."""
+    from sparse_linear_assignment_tpu.batch import solve_batch_sparse
+
+    rng = np.random.default_rng(77)
+    b, n, m, k = 5, 32, 128, 6
+    columns = np.stack([
+        np.stack([
+            rng.choice(m, size=k, replace=False) for _ in range(n)
+        ]) for _ in range(b)
+    ]).astype(np.int32)
+    # integer values + eps < 1/n: objectives exact on the lattice
+    values = rng.integers(1, 50, size=(b, n, k)).astype(np.float64)
+
+    dense = solve_batch_sparse(
+        columns, values, m, eps=0.5 / n, engine="dense"
+    )
+    padded = solve_batch_sparse(
+        columns, values, m, eps=0.5 / n, engine="padded"
+    )
+    assert np.all(dense.num_unassigned == 0)
+    np.testing.assert_array_equal(
+        dense.num_unassigned, padded.num_unassigned
+    )
+    np.testing.assert_allclose(dense.objective, padded.objective, atol=1e-9)
+    for bi in range(b):
+        full = np.full((n, m), 1e9)
+        for i in range(n):
+            full[i, columns[bi, i]] = values[bi, i]
+        r, c = linear_sum_assignment(full)
+        want = full[r, c].sum()
+        assert dense.objective[bi] == want  # integer lattice, eps < 1/n
+        for i, j in enumerate(dense.person_to_object[bi]):
+            assert j in columns[bi, i]
+            assert dense.object_to_person[bi, j] == i
+
+    # maximize through the dense engine
+    dmax = solve_batch_sparse(
+        columns, values, m, maximize=True, eps=0.5 / n, engine="dense"
+    )
+    for bi in (0, b - 1):
+        full = np.full((n, m), -1e9)
+        for i in range(n):
+            full[i, columns[bi, i]] = values[bi, i]
+        r, c = linear_sum_assignment(full, maximize=True)
+        assert dmax.objective[bi] == full[r, c].sum()
+
+
+def test_batch_sparse_dense_engine_infeasible_and_padding():
+    """Variable arc counts and the drop rule through the densified
+    engine: identical contract to the padded engine."""
+    from sparse_linear_assignment_tpu.batch import solve_batch_sparse
+
+    columns = np.array([
+        [[0, 1], [1, -1]],
+        [[0, -1], [0, -1]],
+    ], dtype=np.int32)
+    values = np.array([
+        [[1.0, 2.0], [3.0, 0.0]],
+        [[1.0, 0.0], [2.0, 0.0]],
+    ])
+    sol = solve_batch_sparse(columns, values, 2, eps=0.25, engine="dense")
+    assert sol.num_unassigned[0] == 0
+    assert sol.num_unassigned[1] == 1
+    assert abs(sol.objective[0] - (1.0 + 3.0)) < 1e-9
+
+
+def test_batch_sparse_dense_engine_odd_n_i32_wire():
+    """Odd N routes the packed readback to the plain-int32 wire format
+    (the u16 pair pack needs even N); dropped sentinel included."""
+    from sparse_linear_assignment_tpu.batch import solve_batch_sparse
+
+    columns = np.array([
+        [[0, 1], [1, 2], [2, -1]],
+        [[0, -1], [0, -1], [1, 2]],
+    ], dtype=np.int32)
+    values = np.array([
+        [[1.0, 2.0], [3.0, 1.0], [2.0, 0.0]],
+        [[1.0, 0.0], [2.0, 0.0], [1.0, 5.0]],
+    ])
+    sol = solve_batch_sparse(columns, values, 3, eps=0.2, engine="dense")
+    assert sol.num_unassigned[0] == 0
+    assert sol.num_unassigned[1] == 1  # two persons share object 0
+    assert abs(sol.objective[0] - (1.0 + 3.0 + 2.0)) < 1e-9
+
+
+def test_batch_sparse_kernel_interpret_matches_xla():
+    """The fused Mosaic batch-sparse Khosla kernel (interpret mode on
+    CPU) must be BIT-identical to the XLA chunk path: p2o, nits,
+    objective — including the drop rule and B-bucket padding slots."""
+    import sparse_linear_assignment_tpu.batch as batch_mod
+    from sparse_linear_assignment_tpu.batch import solve_batch_sparse
+
+    rng = np.random.default_rng(31)
+    b, n, m, k = 5, 16, 96, 4  # b=5 exercises the bucket padding
+    columns = np.stack([
+        np.stack([
+            rng.choice(m, size=k, replace=False) for _ in range(n)
+        ]) for _ in range(b)
+    ]).astype(np.int32)
+    values = rng.integers(1, 40, size=(b, n, k)).astype(np.float64)
+    # make instance 2 infeasible: all persons share one object only
+    columns[2] = 0
+    columns[2, :, 1:] = -1
+
+    batch_mod._SPARSE_KERNEL_INTERPRET_ON_CPU = True
+    try:
+        ks = solve_batch_sparse(columns, values, m, engine="dense")
+    finally:
+        batch_mod._SPARSE_KERNEL_INTERPRET_ON_CPU = False
+    xs = solve_batch_sparse(columns, values, m, engine="dense")
+    np.testing.assert_array_equal(ks.person_to_object, xs.person_to_object)
+    np.testing.assert_array_equal(ks.nits, xs.nits)
+    np.testing.assert_array_equal(ks.num_unassigned, xs.num_unassigned)
+    np.testing.assert_allclose(ks.objective, xs.objective)
+    assert ks.num_unassigned[2] == n - 1  # drop rule fired
+    for bi in (0, 1, 3, 4):
+        full = np.full((n, m), 1e9)
+        for i in range(n):
+            full[i, columns[bi, i]] = values[bi, i]
+        r, c = linear_sum_assignment(full)
+        assert ks.objective[bi] == full[r, c].sum()
+
+
+def test_batch_sparse_stream_matches_per_call():
+    """The pipelined sparse stream must return bit-identical solutions
+    to per-call staged solves, in input order."""
+    import sparse_linear_assignment_tpu.batch as batch_mod
+    from sparse_linear_assignment_tpu.batch import (
+        solve_batch_sparse,
+        solve_batch_sparse_stream,
+        stage_batch_sparse,
+    )
+
+    rng = np.random.default_rng(9)
+    n, m, k = 16, 64, 4
+    batches = []
+    for b in (3, 5):
+        columns = np.stack([
+            np.stack([
+                rng.choice(m, size=k, replace=False) for _ in range(n)
+            ]) for _ in range(b)
+        ]).astype(np.int32)
+        values = rng.integers(1, 30, size=(b, n, k)).astype(np.float64)
+        batches.append((columns, values))
+
+    batch_mod._SPARSE_KERNEL_INTERPRET_ON_CPU = True
+    try:
+        staged = [
+            stage_batch_sparse(c, v, m, eps=0.5 / n) for c, v in batches
+        ]
+        stream = solve_batch_sparse_stream(staged, window=2)
+        per_call = [
+            solve_batch_sparse(c, v, m, eps=0.5 / n, engine="dense")
+            for c, v in batches
+        ]
+    finally:
+        batch_mod._SPARSE_KERNEL_INTERPRET_ON_CPU = False
+    for s, p in zip(stream, per_call):
+        np.testing.assert_array_equal(s.person_to_object, p.person_to_object)
+        np.testing.assert_allclose(s.objective, p.objective)
+        np.testing.assert_array_equal(s.nits, p.nits)
+
+
+def test_batch_sparse_device_staging_matches_host():
+    """Device-resident staging (device scatter, identity column map,
+    objective on the packed readback) must match the host-staged dense
+    engine bit-for-bit on p2o and to f32 double-double precision on
+    the objective."""
+    import jax.numpy as jnp
+
+    import sparse_linear_assignment_tpu.batch as batch_mod
+    from sparse_linear_assignment_tpu.batch import (
+        _sparse_finish,
+        _sparse_dispatch,
+        solve_batch_sparse,
+        stage_batch_sparse_device,
+    )
+
+    rng = np.random.default_rng(44)
+    b, n, m, k = 3, 16, 128, 4
+    columns = np.stack([
+        np.stack([
+            rng.choice(m, size=k, replace=False) for _ in range(n)
+        ]) for _ in range(b)
+    ]).astype(np.int32)
+    values = rng.integers(1, 60, size=(b, n, k)).astype(np.float64)
+
+    batch_mod._SPARSE_KERNEL_INTERPRET_ON_CPU = True
+    try:
+        st = stage_batch_sparse_device(
+            jnp.asarray(columns), jnp.asarray(values, jnp.float32), m,
+            eps=0.5 / n,
+        )
+        dsol = _sparse_finish(st, _sparse_dispatch(st, 16), 10_000_000)
+        hsol = solve_batch_sparse(
+            columns, values, m, eps=0.5 / n, engine="dense"
+        )
+    finally:
+        batch_mod._SPARSE_KERNEL_INTERPRET_ON_CPU = False
+    np.testing.assert_array_equal(dsol.person_to_object,
+                                  hsol.person_to_object)
+    np.testing.assert_array_equal(dsol.num_unassigned,
+                                  hsol.num_unassigned)
+    np.testing.assert_allclose(dsol.objective, hsol.objective, atol=1e-6)
+    for bi in range(b):
+        full = np.full((n, m), 1e9)
+        for i in range(n):
+            full[i, columns[bi, i]] = values[bi, i]
+        r, c = linear_sum_assignment(full)
+        assert dsol.objective[bi] == full[r, c].sum()
