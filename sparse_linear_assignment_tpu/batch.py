@@ -272,22 +272,9 @@ def _integer_scale(costs, eps, n, m, integer, max_cost):
     host costs; ``integer=False`` disables."""
     if integer is False or n != m or n % 128 or n * m > 1024 * 1024:
         return None
-    if integer is None:
-        if costs is None:
-            return None  # device-resident: only on explicit opt-in
-        if not (
-            np.issubdtype(costs.dtype, np.integer)
-            or (
-                costs.size <= (1 << 24)
-                and bool(np.all(np.mod(costs, 1) == 0))
-            )
-        ):
-            return None
-    if max_cost is not None:
-        c = float(max_cost)
-    elif costs is not None:
-        c = float(np.abs(costs).max())
-    else:
+    if integer is None and costs is None:
+        return None  # device-resident: only on explicit opt-in
+    if costs is None and max_cost is None:
         raise ValueError(
             "integer=True with device-resident costs requires max_cost="
             "... (a host-side max would cost a full tunnel readback)"
@@ -298,9 +285,27 @@ def _integer_scale(costs, eps, n, m, integer, max_cost):
         # smallest lattice at least as fine as the requested ε (the
         # reported solution.eps is 1/scale <= eps)
         scale = max(1, int(np.ceil(1.0 / float(eps) - 1e-9)))
+    # key-range feasibility BEFORE the integrality scan: the
+    # np.mod pass over 1024² host floats costs ~50-100 ms on this
+    # single-core host and was being paid even when the packed keys
+    # could never fit (e.g. every 1024² instance at eps ~ 1/n —
+    # measured as the dominant term of the dense-single wall)
+    if max_cost is not None:
+        c = float(max_cost)
+    else:
+        c = float(max(costs.max(), -costs.min()))  # no |.| temp copy
     sh = (n - 1).bit_length()
     if 8 * (c * scale + (n + 1)) * (1 << sh) >= 2.0**31:
         return None  # packed keys could overflow int32: stay float
+    if integer is None:
+        if not (
+            np.issubdtype(costs.dtype, np.integer)
+            or (
+                costs.size <= (1 << 24)
+                and bool(np.all(np.mod(costs, 1) == 0))
+            )
+        ):
+            return None
     return scale
 
 
@@ -442,6 +447,57 @@ def _fr_fused_schedule(b: int, n: int, max_iterations: int) -> int:
     return int(min(max_iterations, 11 * budget))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("rounds", "pad_to", "real_b", "negate",
+                     "int_scale", "interpret", "stage"),
+)
+def _fr_fused_solve(x, start_eps_val, rounds: int, pad_to: int,
+                    real_b: int, negate: bool, int_scale: int,
+                    interpret: bool, stage: bool):
+    """ONE-dispatch fused-path solve: [staging +] bucket-pad + state
+    init + the deep multi-round kernel + packed results with the
+    device objective, all in a single jit program.
+
+    Why: each program submit through this environment's tunnel costs
+    ~10 ms of SERIAL host wall (exp_single_fused.py: 20 chained tiny
+    dispatches amortize to 2.3 ms, but the production-sized programs'
+    submits measured ~10-15 ms each and the host is single-core, so
+    they neither overlap each other nor the device).  The former
+    stage→concat→init→kernel→pack chain was 4-6 submits; fusing it
+    measured 2.2-2.6× on dense singles (512²-1024²) and reclaims the
+    stream ledger's ~40 ms/batch of non-overlapped issue cost
+    (VERDICT r4 items 2+3).
+
+    ``stage``: ``x`` is the raw device cost matrix ``[B, N, M]`` to be
+    sign-adjusted/transposed in-program (``int_scale`` > 0 selects the
+    integer lattice); otherwise ``x`` is an already-staged
+    ``values_t [B, M, N]``.  Returns (padded values_t, states, packed).
+    """
+    if stage:
+        vt = (
+            _stage_values_t_int(x, negate, int_scale)
+            if int_scale
+            else _stage_values_t(x, negate)
+        )
+    else:
+        vt = x
+    b0, m, n = vt.shape
+    if pad_to > b0:
+        vt = jnp.concatenate(
+            [vt, jnp.zeros((pad_to - b0, m, n), vt.dtype)]
+        )
+    start_eps = jnp.full((pad_to,), start_eps_val, vt.dtype)
+    st = _fr_batch_init(vt, start_eps)
+    if real_b < pad_to:
+        st = st._replace(
+            done=jnp.arange(pad_to, dtype=jnp.int32) >= real_b
+        )
+    st, _ = fr_chunk_pallas(vt, st, rounds, interpret=interpret)
+    packed = _fr_pack_results_with_objective(st, vt, negate)
+    return vt, st, packed
+
+
 def _fr_continue_bucket(values_t, states: FRState, bucket: int,
                         budget: int, interpret: bool):
     """One on-device straggler continuation stage: reorder undone-first
@@ -551,7 +607,8 @@ def _solve_batch_fr(
     # device array is a ~240 ms tunnel readback
     start_eps_h = np.asarray(start_eps, dtype=np_dtype)
     sfoe = bool(np.all(start_eps_h <= target_eps))
-    start_eps = jnp.asarray(start_eps_h)
+    # host-side only here: the fused one-dispatch path builds its eps
+    # plane in-program; an eager device_put would cost a submit
     ncores = os.cpu_count() or 1
     if tail_count is None:
         tail_count = min(128, 16 * ncores)
@@ -576,16 +633,15 @@ def _solve_batch_fr(
 
     # batch-size bucketing for the fused path (see _FR_B_BUCKET_FLOOR):
     # pad B up to a power of two with done-marked zero instances so any
-    # caller batch size reuses a bounded set of compiled programs
+    # caller batch size reuses a bounded set of compiled programs.
+    # The padding itself happens INSIDE the one-dispatch fused program
+    # (_fr_fused_solve) — host-side only the bookkeeping grows.
     real_b = b
     if use_pallas and _FR_B_BUCKET_FLOOR:
         pad_to = max(
             _FR_B_BUCKET_FLOOR, 1 << max(0, int(b - 1).bit_length())
         )
         if pad_to > b:
-            values_t = jnp.concatenate(
-                [values_t, jnp.zeros((pad_to - b, m_, n_), dtype)]
-            )
             if start_eps_h.ndim:
                 start_eps_h = np.concatenate(
                     [
@@ -596,7 +652,6 @@ def _solve_batch_fr(
                         ),
                     ]
                 )
-                start_eps = jnp.asarray(start_eps_h)
             b = pad_to
 
     out_p2o = np.empty((b, n), np.int32)
@@ -697,13 +752,8 @@ def _solve_batch_fr(
         )
         return out_p2o, out_o2p, num_unassigned, out_eps, out_nits, out_obj
 
-    states = _fr_batch_init(values_t, start_eps)
-    if b != real_b:
-        # padding slots are done from round 0 (host-built mask: a
-        # device_put, no fresh compiled program per (b, real_b) pair)
-        states = states._replace(
-            done=jnp.asarray(np.arange(b) >= real_b)
-        )
+    if not use_pallas:
+        states = _fr_batch_init(values_t, jnp.asarray(start_eps_h))
 
     if use_pallas:  # use_pallas implies sfoe
         # fast path: ONE fixed-budget multi-round kernel dispatch, ONE
@@ -722,20 +772,40 @@ def _solve_batch_fr(
         # the depth costs only the stragglers' real rounds
         # ONE deep-budget kernel dispatch (since round 4 — the former
         # argsort/gather continuation schedule measured bit-identical
-        # and slightly slower, experiments/exp_single_deep.py)
+        # and slightly slower, experiments/exp_single_deep.py).  Since
+        # round 5 the whole chain (bucket-pad + init + kernel + packed
+        # results with device objective) is ONE jit program: each
+        # submit through the tunnel costs ~10 ms of serial host wall
+        # (exp_single_fused.py — fusing the chain measured 2.2-2.6x on
+        # dense singles and reclaims the stream ledger's ~40 ms/batch
+        # of non-overlapped issue cost).
         rounds = _fr_fused_schedule(b, n, max_iterations)
-        states, _ = fr_chunk_pallas(
-            values_t, states, rounds, interpret=fr_interp,
-        )
-        while True:
-            if work_host is None:
-                packed = np.asarray(
-                    _fr_pack_results_with_objective(
-                        states, values_t, negate
-                    )
+        if start_eps_h.ndim == 0 or np.all(
+            start_eps_h == start_eps_h.flat[0]
+        ):
+            values_t, states, packed_dev = _fr_fused_solve(
+                values_t, float(start_eps_h.flat[0]), rounds, b, real_b,
+                negate, 0, fr_interp, False,
+            )
+        else:  # pragma: no cover - fr start eps is always uniform
+            if b > values_t.shape[0]:
+                values_t = jnp.concatenate(
+                    [values_t,
+                     jnp.zeros((b - values_t.shape[0], m_, n_), dtype)]
                 )
-            else:
-                packed = np.asarray(_fr_pack_results(states))
+            states = _fr_batch_init(values_t, jnp.asarray(start_eps_h))
+            if b != real_b:
+                states = states._replace(
+                    done=jnp.asarray(np.arange(b) >= real_b)
+                )
+            states, _ = fr_chunk_pallas(
+                values_t, states, rounds, interpret=fr_interp,
+            )
+            packed_dev = _fr_pack_results_with_objective(
+                states, values_t, negate
+            )
+        while True:
+            packed = np.asarray(packed_dev)
             half = n // 2
             done_h = packed[:, half + 1] != 0
             undone = np.nonzero(~done_h)[0]
@@ -752,12 +822,18 @@ def _solve_batch_fr(
                     values_t, states, 128, 512, fr_interp
                 )
                 rounds += 512
+                packed_dev = _fr_pack_results_with_objective(
+                    states, values_t, negate
+                )
                 continue
             # rare: a hard batch — keep running fused rounds
             states, _ = fr_chunk_pallas(
                 values_t, states, 128, interpret=fr_interp
             )
             rounds += 128
+            packed_dev = _fr_pack_results_with_objective(
+                states, values_t, negate
+            )
         global LAST_TAIL_COUNT
         LAST_TAIL_COUNT = len(undone)
         out_p2o[:] = _unpack_p2o_u16(packed[:, :half], n)
@@ -1360,28 +1436,17 @@ def solve_batch_stream(
             _FR_B_BUCKET_FLOOR, 1 << max(0, int(b - 1).bit_length())
         )
     base_rounds = _fr_fused_schedule(pad_b, n, max_iterations)
-    start_eps = None  # staged once, shared across batches (same shape)
 
     def dispatch(dev):
-        nonlocal start_eps
-        if int_scale is not None:
-            vt = _stage_values_t_int(
-                jnp.asarray(dev, dtype), negate, int_scale
-            )
-        else:
-            vt = _stage_values_t(jnp.asarray(dev, dtype), negate)
-        if pad_b > b:
-            vt = jnp.concatenate(
-                [vt, jnp.zeros((pad_b - b, m, n), vt.dtype)]
-            )
-        if start_eps is None:
-            start_eps = jnp.full((pad_b,), eps_val, vt.dtype)
-        st = _fr_batch_init(vt, start_eps)
-        if pad_b > b:
-            st = st._replace(done=jnp.asarray(np.arange(pad_b) >= b))
-        st, _ = fr_chunk_pallas(vt, st, base_rounds, interpret=interpret)
-        packed = _fr_pack_results_with_objective(st, vt, negate)
-        return vt, st, packed
+        # ONE submit per batch: staging + bucket-pad + init + deep
+        # kernel + packed results fused into a single program
+        # (_fr_fused_solve) — the former 4-6 submit chain cost ~10 ms
+        # of serial host wall each, the stream ledger's last
+        # non-overlapped term (VERDICT r4 item 2)
+        return _fr_fused_solve(
+            jnp.asarray(dev, dtype), eps_val, base_rounds, pad_b, b,
+            negate, int_scale or 0, interpret, True,
+        )
 
     def finish(vt, st, packed_dev):
         rounds = base_rounds
