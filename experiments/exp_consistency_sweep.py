@@ -165,7 +165,24 @@ def batch_sparse_cases(rng, case_seed):
             deg = int(rng.integers(1, k + 1))
             cols[bi, i, :deg] = rng.choice(m, size=deg, replace=False)
             vals[bi, i, :deg] = rng.uniform(1.0, 50.0, size=deg)
-    sol = solve_batch_sparse(cols, vals, m, eps=0.5 / m)
+    import sparse_linear_assignment_tpu.batch as batch_mod
+
+    # rotate all three engines: padded gathers, densified XLA rounds,
+    # and (every third case) the fused Mosaic kernel in interpret mode
+    pick = case_seed % 3
+    if pick == 2 and n % 8 == 0:
+        batch_mod._SPARSE_KERNEL_INTERPRET_ON_CPU = True
+        try:
+            sol = solve_batch_sparse(
+                cols, vals, m, eps=0.5 / m, engine="dense"
+            )
+        finally:
+            batch_mod._SPARSE_KERNEL_INTERPRET_ON_CPU = False
+    else:
+        sol = solve_batch_sparse(
+            cols, vals, m, eps=0.5 / m,
+            engine="dense" if pick == 1 else "padded",
+        )
     for bi in range(b):
         dense = np.full((n, m), BIG)
         for i in range(n):

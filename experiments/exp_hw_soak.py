@@ -128,6 +128,40 @@ def rect_cases(rng, it, b=16, n=96, m=160):
     return 1
 
 
+def sparse_batch_case(rng, it, b=256, n=128, m=512, k=8):
+    """Batched-sparse fused Mosaic kernel (round 5): host-staged dense
+    engine + device-resident staging on alternating iterations, both
+    oracle-exact on the integer lattice."""
+    import jax.numpy as jnp
+
+    from sparse_linear_assignment_tpu.batch import (
+        _sparse_dispatch,
+        _sparse_finish,
+        solve_batch_sparse,
+        stage_batch_sparse_device,
+    )
+    from sparse_linear_assignment_tpu.generators import gen_batch_ksparse
+    from scipy.optimize import linear_sum_assignment as lsa
+
+    seed = int(rng.integers(0, 10**9))
+    cols, vals = gen_batch_ksparse(seed, b, n, m, k)
+    if it % 2:
+        sol = solve_batch_sparse(cols, vals, m, engine="dense")
+    else:
+        st = stage_batch_sparse_device(
+            jnp.asarray(cols), jnp.asarray(vals, jnp.float32), m
+        )
+        sol = _sparse_finish(st, _sparse_dispatch(st, 16), 10_000_000)
+    assert int(sol.num_unassigned.sum()) == 0
+    for bi in rng.choice(b, size=2, replace=False):
+        full = np.full((n, m), 1e9)
+        for i in range(n):
+            full[i, cols[bi, i]] = vals[bi, i]
+        r, c = lsa(full)
+        assert sol.objective[bi] == full[r, c].sum(), (seed, bi)
+    return 1
+
+
 def hybrid_case(rng, it, n=100_000):
     """Hybrid TPU-bulk + native-tail vs the independent native ε-ladder
     (router default) on a fresh sparse instance.  n must exceed the
@@ -162,13 +196,15 @@ def main():
     base = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     rng = np.random.default_rng(987_654 + base)
     deadline = time.time() + 60 * minutes
-    counts = {"batched": 0, "stream": 0, "big": 0, "rect": 0, "hybrid": 0}
+    counts = {"batched": 0, "stream": 0, "big": 0, "rect": 0,
+              "hybrid": 0, "sparse": 0}
     it = 0
     while time.time() < deadline:
         it += 1
         t0 = time.time()
         counts["batched"] += batched_cases(rng, it)
         counts["stream"] += stream_cases(rng, it)
+        counts["sparse"] += sparse_batch_case(rng, it)
         counts["rect"] += rect_cases(rng, it)
         if it % 2 == 0:
             counts["big"] += big_single_case(rng, it)

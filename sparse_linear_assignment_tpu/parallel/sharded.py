@@ -1368,3 +1368,152 @@ def solve_batch_sharded_stream(
     while pending:
         results.append(finish(*pending.popleft()))
     return results
+
+
+def _ksp_batch_local(columns_l, values_l, valid_l, eps_s, *,
+                     m: int, rounds: int, negate: bool, u16: bool,
+                     interpret: bool):
+    """Per-device batched-sparse Khosla program (one shard_map body):
+    device scatter staging, state init, the fused multi-round kernel
+    (ops/pallas_ksparse.py), and the packed result plane with the
+    on-device objective — batch-data-parallel with ZERO collectives
+    (the done check rides the packed readback's sentinels)."""
+    from .. import batch as batch_mod
+    from ..ops.pallas_ksparse import ksp_chunk_pallas
+
+    vt, w_lo, w_hi = batch_mod._sparse_stage_scatter(
+        columns_l, values_l, m, negate
+    )
+    thresholds = (m / 2.0) * (w_hi - w_lo + eps_s)
+    states = batch_mod._sparse_batch_init_nm(vt)
+    # batch-padding slots arrive valid_l=False: born all-dropped, they
+    # exit their grid step immediately
+    states = states._replace(
+        dropped=states.dropped | ~valid_l[:, None]
+    )
+    states = ksp_chunk_pallas(
+        vt, states, eps_s, thresholds, rounds, interpret=interpret
+    )
+    packed = batch_mod._sparse_encode(states, u16)
+    # objective in ORIGINAL cost units: p2o is in original column
+    # space (identity map), so the match selects original arc values
+    match = (columns_l == states.p2o[:, :, None]) & (columns_l >= 0)
+    obj = jnp.sum(
+        jnp.where(match, values_l, jnp.zeros((), values_l.dtype)),
+        axis=(1, 2), dtype=jnp.float64,
+    )
+    hi = obj.astype(jnp.float32)
+    lo = (obj - hi.astype(jnp.float64)).astype(jnp.float32)
+    bits = jnp.stack(
+        [
+            lax.bitcast_convert_type(hi, jnp.int32),
+            lax.bitcast_convert_type(lo, jnp.int32),
+        ],
+        axis=1,
+    )
+    return jnp.concatenate([packed, bits], axis=1)
+
+
+@functools.lru_cache(maxsize=8)
+def sharded_ksp_batch_core(mesh: Mesh, m: int, rounds: int,
+                           negate: bool, u16: bool,
+                           interpret: bool = False):
+    """Jitted multi-device batched-sparse program: the batch dimension
+    sharded across the mesh, each chip running the single-chip fused
+    Khosla kernel on its slice — the multi-chip scaling dimension for
+    the reference's own k-regular domain, with zero cross-chip
+    traffic."""
+    axis = mesh.axis_names[0]
+    bspec = P(axis)
+    fn = jax.shard_map(
+        functools.partial(
+            _ksp_batch_local, m=m, rounds=rounds, negate=negate,
+            u16=u16, interpret=interpret,
+        ),
+        mesh=mesh,
+        in_specs=(bspec, bspec, bspec, P()),
+        out_specs=bspec,
+        check_vma=False,  # pallas out_shapes carry no varying-axes info
+    )
+    return jax.jit(fn)
+
+
+def solve_batch_sparse_sharded(
+    columns,
+    values,
+    num_cols: int,
+    mesh: Mesh,
+    maximize: bool = False,
+    eps: float | None = None,
+    max_rounds: int = 10_000_000,
+):
+    """Multi-device batched k-sparse Khosla solve: ``columns[B, N, K]``
+    (int32, −1 pads) / ``values[B, N, K]`` sharded over ``mesh``'s
+    first axis, each device running the fused single-chip kernel on
+    its slice (``batch.solve_batch_sparse``'s device-resident dense
+    engine, batch-sharded).  Requires N % 8 == 0 and
+    num_cols % 128 == 0 (the kernel shape contract).  Deterministic:
+    results are bit-identical across mesh sizes (smallest-column tie
+    rule per instance; instances never interact)."""
+    from ..batch import BatchSolution, _sparse_unpack
+
+    columns = jnp.asarray(columns, jnp.int32)
+    values = jnp.asarray(values, jnp.float32)
+    b, n, k = columns.shape
+    m = int(num_cols)
+    if n % 8 or m % 128:
+        raise ValueError(
+            f"sharded batch-sparse needs N%8==0 and num_cols%128==0, "
+            f"got {n}x{m}"
+        )
+    if n > m:
+        raise ValueError("num_rows must be <= num_cols")
+    d = int(np.prod(mesh.devices.shape))
+    b_pad = ((b + d - 1) // d) * d
+    if b_pad != b:
+        columns = jnp.concatenate(
+            [columns, jnp.broadcast_to(columns[:1], (b_pad - b, n, k))]
+        )
+        values = jnp.concatenate(
+            [values, jnp.broadcast_to(values[:1], (b_pad - b, n, k))]
+        )
+    valid = jnp.asarray(np.arange(b_pad) < b)
+    eps_val = float(eps) if eps is not None else 1.0 / m
+    u16 = n % 2 == 0 and m < 0xFFFE
+    kern_interp = (
+        _SHARDED_KERNEL_INTERPRET_ON_CPU
+        and jax.default_backend() == "cpu"
+    )
+    from ..batch import _SPARSE_KERNEL_BUDGET
+
+    bsh = NamedSharding(mesh, P(mesh.axis_names[0]))
+    columns = jax.device_put(columns, bsh)
+    values = jax.device_put(values, bsh)
+    budget = _SPARSE_KERNEL_BUDGET
+    while True:
+        core = sharded_ksp_batch_core(
+            mesh, m, budget, not maximize, u16, kern_interp
+        )
+        packed_dev = core(columns, values, valid, np.float32(eps_val))
+        packed = np.asarray(packed_dev)[:b]
+        p2o, active, _dropped, nits = _sparse_unpack(
+            packed[:, :-2], n, u16
+        )
+        if not active.any() or budget >= max_rounds:
+            break
+        # extremely rare at m >> n (p99 round count < 10): the core is
+        # stateless, so continuation re-solves from scratch with a 4x
+        # budget (a fresh compile for the deeper program — acceptable
+        # on the pathological path; the common path is ONE dispatch)
+        budget = min(max_rounds, budget * 4)
+    words = np.ascontiguousarray(packed[:, -2:]).view(np.float32)
+    objective = words[:, 0].astype(np.float64) + words[:, 1]
+    assigned = p2o != UNASSIGNED
+    return BatchSolution(
+        person_to_object=p2o,
+        object_to_person=o2p_from_p2o(p2o, m),
+        num_unassigned=(~assigned).sum(axis=1).astype(np.int32),
+        objective=objective,
+        eps=np.full(b, eps_val),
+        nits=nits,
+    )

@@ -602,3 +602,56 @@ def test_sharded_forward_infeasibility_certificate():
     assert sol.num_unassigned >= 1
     assert not solver.optimal_soln_found
     assert nits < 10_000, nits
+
+
+def test_batch_sparse_sharded_matches_single_and_d1():
+    """The sharded batched-sparse mode (round 5): bit-identical to the
+    single-device dense engine, and d=1 vs d=8 bit-equality (the
+    multi-chip determinism contract of the new mode)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    import sparse_linear_assignment_tpu.batch as batch_mod
+    import sparse_linear_assignment_tpu.parallel.sharded as sh
+    from sparse_linear_assignment_tpu.batch import solve_batch_sparse
+    from sparse_linear_assignment_tpu.parallel import (
+        solve_batch_sparse_sharded,
+    )
+
+    rng = np.random.default_rng(61)
+    b, n, m, k = 11, 16, 128, 4  # b=11: exercises the d-padding
+    columns = np.stack([
+        np.stack([
+            rng.choice(m, size=k, replace=False) for _ in range(n)
+        ]) for _ in range(b)
+    ]).astype(np.int32)
+    values = rng.integers(1, 60, size=(b, n, k)).astype(np.float64)
+
+    devices = jax.devices("cpu")
+    mesh8 = Mesh(np.array(devices[:8]), ("shard",))
+    mesh1 = Mesh(np.array(devices[:1]), ("shard",))
+    sh._SHARDED_KERNEL_INTERPRET_ON_CPU = True
+    batch_mod._SPARSE_KERNEL_INTERPRET_ON_CPU = True
+    try:
+        s8 = solve_batch_sparse_sharded(columns, values, m, mesh8)
+        s1 = solve_batch_sparse_sharded(columns, values, m, mesh1)
+        ref = solve_batch_sparse(columns, values, m, engine="dense")
+    finally:
+        sh._SHARDED_KERNEL_INTERPRET_ON_CPU = False
+        batch_mod._SPARSE_KERNEL_INTERPRET_ON_CPU = False
+    np.testing.assert_array_equal(s8.person_to_object, s1.person_to_object)
+    np.testing.assert_array_equal(s8.person_to_object,
+                                  ref.person_to_object)
+    np.testing.assert_allclose(s8.objective, ref.objective, atol=1e-6)
+    np.testing.assert_array_equal(s8.num_unassigned, ref.num_unassigned)
+    assert int(s8.num_unassigned.sum()) == 0
+
+    from scipy.optimize import linear_sum_assignment
+
+    for bi in (0, b - 1):
+        full = np.full((n, m), 1e9)
+        for i in range(n):
+            full[i, columns[bi, i]] = values[bi, i]
+        r, c = linear_sum_assignment(full)
+        assert s8.objective[bi] == full[r, c].sum()
