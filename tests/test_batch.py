@@ -936,3 +936,42 @@ def test_batch_sparse_device_staging_matches_host():
             full[i, columns[bi, i]] = values[bi, i]
         r, c = linear_sum_assignment(full)
         assert dsol.objective[bi] == full[r, c].sum()
+
+
+def test_batch_sparse_device_staging_maximize():
+    """Device-resident staging in maximize mode (negate=False scatter,
+    objective still in original units on the readback)."""
+    import jax.numpy as jnp
+
+    import sparse_linear_assignment_tpu.batch as batch_mod
+    from sparse_linear_assignment_tpu.batch import (
+        _sparse_dispatch,
+        _sparse_finish,
+        stage_batch_sparse_device,
+    )
+
+    rng = np.random.default_rng(52)
+    b, n, m, k = 2, 8, 128, 3
+    columns = np.stack([
+        np.stack([
+            rng.choice(m, size=k, replace=False) for _ in range(n)
+        ]) for _ in range(b)
+    ]).astype(np.int32)
+    values = rng.integers(1, 40, size=(b, n, k)).astype(np.float64)
+
+    batch_mod._SPARSE_KERNEL_INTERPRET_ON_CPU = True
+    try:
+        st = stage_batch_sparse_device(
+            jnp.asarray(columns), jnp.asarray(values, jnp.float32), m,
+            maximize=True, eps=0.5 / n,
+        )
+        sol = _sparse_finish(st, _sparse_dispatch(st, 16), 10_000_000)
+    finally:
+        batch_mod._SPARSE_KERNEL_INTERPRET_ON_CPU = False
+    assert int(sol.num_unassigned.sum()) == 0
+    for bi in range(b):
+        full = np.full((n, m), -1e9)
+        for i in range(n):
+            full[i, columns[bi, i]] = values[bi, i]
+        r, c = linear_sum_assignment(full, maximize=True)
+        assert sol.objective[bi] == full[r, c].sum()
