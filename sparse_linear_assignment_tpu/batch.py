@@ -1894,20 +1894,63 @@ def _sparse_stage_scatter(columns_device, values_device, m: int,
     return vt, w_lo, w_hi
 
 
+def _sparse_remap_host(columns, num_cols: int):
+    """Host column compaction for the device staging path: per-instance
+    remap of original column ids into a shared-width local space
+    (sorted by original id, preserving the smallest-column tie rule).
+    Returns ``(cols_local [B, N, K] int32 with −1 pads kept,
+    used_cols [B, M'] int64, mp)`` with M' lane-tile-aligned."""
+    columns = np.asarray(columns)
+    b, n, k = columns.shape
+    arc_mask = columns >= 0
+    flat_cols = np.where(arc_mask, columns, 0).astype(np.int64)
+    keys = (
+        np.arange(b, dtype=np.int64)[:, None, None] * num_cols + flat_cols
+    )
+    keys_flat = keys[arc_mask]
+    uniq = np.unique(keys_flat)
+    owner = uniq // num_cols
+    counts = np.bincount(owner, minlength=b)
+    m_used = int(counts.max()) if counts.size else 1
+    mp = max(128, -(-m_used // 128) * 128)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    local_of_uniq = np.arange(uniq.size, dtype=np.int64) - starts[owner]
+    used_cols = np.zeros((b, mp), dtype=np.int64)
+    used_cols[owner, local_of_uniq] = uniq % num_cols
+    cols_local = np.full((b, n, k), -1, np.int32)
+    cols_local[arc_mask] = local_of_uniq[
+        np.searchsorted(uniq, keys_flat)
+    ].astype(np.int32)
+    return cols_local, used_cols, mp
+
+
 def stage_batch_sparse_device(
     columns_device,
     values_device,
     num_cols: int,
     maximize: bool = False,
     eps: Optional[float] = None,
+    compact: Optional[bool] = None,
 ) -> _SparseStaged:
     """Device-resident staging for :func:`solve_batch_sparse_stream` /
     staged solves: ``columns_device [B, N, K]`` int32 (−1 pads) and
-    ``values_device [B, N, K]`` float32 already on device (e.g.
-    device-generated).  No host densify, no GB-scale ingress — the
-    dense plane is scattered on device and the objective is evaluated
-    on device (double-double pair on the packed readback).  Requires
-    the fused-kernel-eligible shape (N % 8 == 0, num_cols % 128 == 0)."""
+    ``values_device [B, N, K]`` float32 (host or device arrays).  No
+    host densify, no GB-scale ingress — the dense plane is scattered
+    on device and the objective is evaluated on device (double-double
+    pair on the packed readback).  Requires the fused-kernel-eligible
+    shape (N % 8 == 0, num_cols % 128 == 0).
+
+    ``compact``: per-instance column compaction before the device
+    scatter (host-side remap; needs host column arrays).  MEASURED
+    NEGATIVE — default OFF: shrinking 2048 → M'=1408 at (256, k=8)
+    ran the kernel **12× slower** (1,191 vs 14,406 inst/s per call,
+    round-5 A/B) because 1408 lanes = 11 tiles: the fused lane-halving
+    top-2 needs widths that halve in 128-tile multiples (powers of two
+    × 128), and M' between powers of two degrades every tree to
+    full-width masked scans; padding M' to the next efficient width
+    lands back on ``num_cols`` itself.  Kept as an explicit knob for
+    the record/tests only.  Threshold semantics always use the
+    ORIGINAL ``num_cols`` (`ksparse.rs:181`)."""
     b, n, k = columns_device.shape
     m = int(num_cols)
     if n % 8 or m % 128:
@@ -1918,15 +1961,28 @@ def stage_batch_sparse_device(
     if n > m:
         raise ValueError("num_rows must be <= num_cols")
     eps_val = float(eps) if eps is not None else 1.0 / m
+    is_host = isinstance(columns_device, np.ndarray)
+    used_cols = None
+    mp = m
+    if compact:  # measured-negative knob; see the docstring
+        if not is_host:
+            raise ValueError(
+                "compact=True needs host column arrays (the remap is "
+                "host-side; reading device columns back would cost a "
+                "tunnel round-trip)"
+            )
+        cols_local, used_cols, mp = _sparse_remap_host(columns_device, m)
+        columns_device = cols_local
     vt, w_lo, w_hi = _sparse_stage_scatter(
         jnp.asarray(columns_device, jnp.int32),
         jnp.asarray(values_device, jnp.float32),
-        m, not maximize,
+        mp, not maximize,
     )
+    # drop rule factor from the ORIGINAL object count (ksparse.rs:181)
     thresholds = (m / 2.0) * (w_hi - w_lo + jnp.float32(eps_val))
     return _SparseStaged(
         values_t=vt,
-        used_cols=None,
+        used_cols=used_cols,
         thresholds=thresholds,
         columns=None,
         arc_mask=None,
@@ -2119,8 +2175,20 @@ def _sparse_finish(
 
     assigned = p2o_loc != UNASSIGNED
     if st.device_mode:
-        # identity column map; objective rode the readback
-        p2o = p2o_loc
+        # objective rode the readback; column map is the identity
+        # unless the staging compacted (used_cols present)
+        if st.used_cols is not None:
+            p2o = np.where(
+                assigned,
+                np.take_along_axis(
+                    st.used_cols,
+                    np.where(assigned, p2o_loc, 0).astype(np.int64),
+                    axis=1,
+                ),
+                np.int64(UNASSIGNED),
+            ).astype(np.int32)
+        else:
+            p2o = p2o_loc
         words = np.ascontiguousarray(obj_words).view(np.float32)
         objective = words[:, 0].astype(np.float64) + words[:, 1]
     else:
