@@ -1689,8 +1689,16 @@ def _sparse_densify(columns, arc_mask, work, num_cols: int, dtype,
     owner = uniq // num_cols
     counts = np.bincount(owner, minlength=b)
     m_used = int(counts.max()) if counts.size else 1
-    align = 128 if person_major else 8
-    mp = max(align, -(-m_used // align) * align)
+    if person_major:
+        # POWER-OF-TWO lane width, not just a 128 multiple: the fused
+        # lane-halving top-2 only halves while the width divides by
+        # 256, so e.g. 1408 lanes (11 tiles) degrade every per-round
+        # tree to full-width masked scans — measured 12× slower than
+        # the power-of-two plane (the compaction A/B, round 5).  The
+        # ≤2× padding is -inf columns nobody ever bids.
+        mp = max(128, 1 << (m_used - 1).bit_length())
+    else:
+        mp = max(8, -(-m_used // 8) * 8)
     starts = np.concatenate([[0], np.cumsum(counts)])
     local_of_uniq = np.arange(uniq.size, dtype=np.int64) - starts[owner]
     used_cols = np.zeros((b, mp), dtype=np.int64)
@@ -1912,7 +1920,7 @@ def _sparse_remap_host(columns, num_cols: int):
     owner = uniq // num_cols
     counts = np.bincount(owner, minlength=b)
     m_used = int(counts.max()) if counts.size else 1
-    mp = max(128, -(-m_used // 128) * 128)
+    mp = max(128, 1 << (m_used - 1).bit_length())  # pow2 lane width
     starts = np.concatenate([[0], np.cumsum(counts)])
     local_of_uniq = np.arange(uniq.size, dtype=np.int64) - starts[owner]
     used_cols = np.zeros((b, mp), dtype=np.int64)
